@@ -1,0 +1,84 @@
+"""scalablevectorsearch_tpu: a TPU-native vector similarity search framework.
+
+A from-scratch JAX/XLA/Pallas re-imagining of the capabilities of
+intel/ScalableVectorSearch (SVS): Vamana graph indexes, brute-force flat
+search, IVF, two-level inverted indexes, scalar/LVQ-style quantization,
+dynamic (mutable) indexes, schema-versioned checkpoints, calibration, and a
+benchmark harness — built around batched lockstep beam search, MXU distance
+matmuls, and `shard_map` scale-out over TPU meshes instead of threadpools,
+NUMA, and AVX-512.
+"""
+
+__version__ = "0.1.0"
+
+from .core.data import VectorDataset
+from .core.graph import NeighborGraph
+from .core.io import read_vecs, write_vecs, read_npy, write_npy, \
+    generate_test_dataset
+from .core.query_result import QueryResult
+from .core.recall import k_recall_at_n
+from .ops.distance import DistanceType, as_distance
+from .index.flat import FlatIndex, exhaustive_search
+
+# Convenience aliases matching the reference's Python surface (svs.*)
+L2 = DistanceType.L2
+MIP = DistanceType.MIP
+Cosine = DistanceType.Cosine
+
+__all__ = [
+    "VectorDataset", "NeighborGraph", "QueryResult",
+    "read_vecs", "write_vecs", "read_npy", "write_npy",
+    "generate_test_dataset", "k_recall_at_n",
+    "DistanceType", "as_distance", "L2", "MIP", "Cosine",
+    "FlatIndex", "exhaustive_search",
+]
+
+
+def _register_lazy():
+    """Late imports for heavier submodules (vamana/ivf) are added to the
+    package namespace by the modules themselves as they land."""
+
+
+try:  # Vamana family (index + orchestrator API)
+    from .index.vamana.index import VamanaIndex  # noqa: F401
+    from .index.vamana.params import (  # noqa: F401
+        VamanaBuildParameters, VamanaSearchParameters, SearchBufferConfig)
+    from .orchestrators.vamana import Vamana  # noqa: F401
+    __all__ += ["VamanaIndex", "VamanaBuildParameters",
+                "VamanaSearchParameters", "SearchBufferConfig", "Vamana"]
+except ImportError:  # pragma: no cover - during incremental bring-up
+    pass
+
+try:  # Flat orchestrator
+    from .orchestrators.flat import Flat  # noqa: F401
+    __all__ += ["Flat"]
+except ImportError:  # pragma: no cover
+    pass
+
+try:  # Dynamic Vamana
+    from .index.vamana.dynamic import MutableVamanaIndex  # noqa: F401
+    from .orchestrators.dynamic_vamana import DynamicVamana  # noqa: F401
+    __all__ += ["MutableVamanaIndex", "DynamicVamana"]
+except ImportError:  # pragma: no cover
+    pass
+
+try:  # IVF
+    from .index.ivf.params import IVFBuildParameters, IVFSearchParameters  # noqa: F401
+    from .orchestrators.ivf import IVF, Clustering  # noqa: F401
+    __all__ += ["IVFBuildParameters", "IVFSearchParameters", "IVF",
+                "Clustering"]
+except ImportError:  # pragma: no cover
+    pass
+
+try:  # Inverted
+    from .orchestrators.inverted import Inverted  # noqa: F401
+    __all__ += ["Inverted"]
+except ImportError:  # pragma: no cover
+    pass
+
+try:  # Quantization
+    from .quantization.scalar import SQDataset  # noqa: F401
+    from .quantization.lvq import LVQDataset  # noqa: F401
+    __all__ += ["SQDataset", "LVQDataset"]
+except ImportError:  # pragma: no cover
+    pass

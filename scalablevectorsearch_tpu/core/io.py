@@ -1,0 +1,104 @@
+"""Vector file I/O: ``*vecs`` interchange formats, ``.npy``, and the framework's
+native checkpoint blobs.
+
+Analog of the reference's ``include/svs/core/io/vecs.h`` (fvecs/ivecs/hvecs
+readers/writers at ``vecs.h:137,195``) and the Python helpers
+``bindings/python/src/common.py`` (``read_vecs``/``write_vecs``/``read_npy``).
+
+The ``*vecs`` family stores each row as a little-endian int32 dimension prefix
+followed by ``dim`` elements:
+    fvecs -> float32, ivecs -> int32, bvecs -> uint8, hvecs -> float16.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+_VECS_DTYPES = {
+    ".fvecs": np.float32,
+    ".ivecs": np.int32,
+    ".bvecs": np.uint8,
+    ".hvecs": np.float16,
+}
+
+
+def _vecs_dtype(path: str, dtype=None):
+    if dtype is not None:
+        return np.dtype(dtype)
+    ext = os.path.splitext(path)[1]
+    if ext not in _VECS_DTYPES:
+        raise ValueError(f"cannot infer vecs dtype from extension {ext!r}")
+    return np.dtype(_VECS_DTYPES[ext])
+
+
+def read_vecs(path: str, dtype=None, max_rows: Optional[int] = None) -> np.ndarray:
+    """Read a ``*vecs`` file into an (n, dim) array.
+
+    The dimension prefix is validated to be constant across rows
+    (reference behavior: vecs.h readers assume uniform dimensionality).
+    """
+    dt = _vecs_dtype(path, dtype)
+    raw = np.fromfile(path, dtype=np.uint8)
+    if raw.size == 0:
+        return np.empty((0, 0), dtype=dt)
+    dim = int(np.frombuffer(raw[:4].tobytes(), dtype="<i4")[0])
+    if dim <= 0:
+        raise ValueError(f"invalid vecs dimension prefix {dim} in {path}")
+    row_bytes = 4 + dim * dt.itemsize
+    if raw.size % row_bytes != 0:
+        raise ValueError(
+            f"{path}: file size {raw.size} is not a multiple of row size "
+            f"{row_bytes} (dim={dim}, dtype={dt})")
+    n = raw.size // row_bytes
+    if max_rows is not None:
+        n = min(n, max_rows)
+        raw = raw[: n * row_bytes]
+    rows = raw.reshape(n, row_bytes)
+    dims = rows[:, :4].copy().view("<i4").ravel()
+    if not np.all(dims == dim):
+        raise ValueError(f"{path}: non-uniform row dimensions")
+    return rows[:, 4:].copy().view(dt).reshape(n, dim)
+
+
+def write_vecs(path: str, data: np.ndarray, dtype=None) -> None:
+    """Write an (n, dim) array in ``*vecs`` format."""
+    dt = _vecs_dtype(path, dtype if dtype is not None else data.dtype)
+    data = np.ascontiguousarray(data, dtype=dt)
+    n, dim = data.shape
+    row_bytes = 4 + dim * dt.itemsize
+    out = np.empty((n, row_bytes), dtype=np.uint8)
+    out[:, :4] = np.full((n, 1), dim, dtype="<i4").view(np.uint8)
+    out[:, 4:] = data.view(np.uint8).reshape(n, dim * dt.itemsize)
+    out.tofile(path)
+
+
+def read_npy(path: str) -> np.ndarray:
+    return np.load(path)
+
+
+def write_npy(path: str, data: np.ndarray) -> None:
+    np.save(path, data)
+
+
+def read_any(path: str, dtype=None) -> np.ndarray:
+    """Dispatch on extension: .npy or any of the *vecs formats."""
+    if path.endswith(".npy"):
+        return read_npy(path)
+    return read_vecs(path, dtype=dtype)
+
+
+def generate_test_dataset(n: int, n_queries: int, dim: int, seed: int = 0,
+                          dtype=np.float32):
+    """Synthetic clustered dataset + queries, mirroring the intent of the
+    reference's ``generate_test_dataset`` helper (bindings common.py:23-266)."""
+    rng = np.random.default_rng(seed)
+    n_clusters = max(8, n // 512)
+    centers = rng.normal(scale=10.0, size=(n_clusters, dim))
+    assign = rng.integers(0, n_clusters, size=n)
+    data = centers[assign] + rng.normal(size=(n, dim))
+    q_assign = rng.integers(0, n_clusters, size=n_queries)
+    queries = centers[q_assign] + rng.normal(size=(n_queries, dim))
+    return data.astype(dtype), queries.astype(dtype)
