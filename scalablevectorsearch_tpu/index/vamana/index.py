@@ -1,0 +1,201 @@
+"""Static Vamana index.
+
+TPU-native analog of the reference's ``VamanaIndex``
+(``include/svs/index/vamana/index.h:268``): owns the dataset, the neighbor
+graph, the entry point, the distance, and mutable search parameters; provides
+batch search (``index.h:556-603``), build (``auto_build`` index.h:945-971),
+3-directory save/load (``index.h:802-817``, ``auto_assemble`` index.h:999),
+and vector reconstruction (``index.h:630-671``).
+
+Where the reference parallelizes batch search with a threadpool and per-thread
+search buffers, this index tiles queries into fixed-size lockstep batches and
+runs the compiled batched beam search per tile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.data import VectorDataset
+from ...core.graph import NeighborGraph
+from ...core.query_result import QueryResult
+from ...lib import datatypes as dt
+from ...lib import saveload
+from ...lib import timing
+from ...ops import distance as dist_ops
+from . import build as build_mod
+from . import search as search_mod
+from .params import (SearchBufferConfig, VamanaBuildParameters,
+                     VamanaSearchParameters, UNSPECIFIED)
+
+CONFIG_FILENAME = "vamana_config.json"
+
+
+class VamanaIndex:
+    """Static (non-mutable) Vamana graph index."""
+
+    SCHEMA = "vamana_index_parameters"
+    VERSION = saveload.Version(0, 0, 1)
+
+    def __init__(self,
+                 graph: NeighborGraph,
+                 data: VectorDataset,
+                 entry_point: int,
+                 distance,
+                 build_parameters: Optional[VamanaBuildParameters] = None,
+                 search_parameters: Optional[VamanaSearchParameters] = None,
+                 query_batch_size: int = 512,
+                 logger=None):
+        self.graph = graph
+        self.data = data
+        self.entry_point = int(entry_point)
+        self.distance = dist_ops.as_distance(distance)
+        self.build_parameters = build_parameters
+        self._search_parameters = (search_parameters or
+                                   VamanaSearchParameters())
+        self.query_batch_size = query_batch_size
+        self.logger = logger
+
+    # -- construction ---------------------------------------------------------
+    @classmethod
+    def build(cls,
+              parameters: VamanaBuildParameters,
+              data,
+              distance,
+              *,
+              dtype=None,
+              batch_size: Optional[int] = None,
+              timer: Optional[timing.Timer] = None,
+              logger=None,
+              **kwargs) -> "VamanaIndex":
+        """Build from an array or VectorDataset (reference auto_build)."""
+        if not isinstance(data, VectorDataset):
+            data = VectorDataset.from_array(data, dtype=dtype)
+        distance = dist_ops.as_distance(distance)
+        parameters = parameters.resolved(distance)
+        graph, entry = build_mod.build_graph(
+            data, parameters, distance, batch_size=batch_size,
+            timer=timer, logger=logger)
+        return cls(graph, data, entry, distance,
+                   build_parameters=parameters, logger=logger, **kwargs)
+
+    # -- properties -------------------------------------------------------------
+    @property
+    def size(self) -> int:
+        return self.data.n
+
+    @property
+    def dimensions(self) -> int:
+        return self.data.dim
+
+    @property
+    def search_parameters(self) -> VamanaSearchParameters:
+        return self._search_parameters
+
+    @search_parameters.setter
+    def search_parameters(self, params: VamanaSearchParameters) -> None:
+        self._search_parameters = params
+
+    @property
+    def search_window_size(self) -> int:
+        return self._search_parameters.buffer_config.search_window_size
+
+    @search_window_size.setter
+    def search_window_size(self, window: int) -> None:
+        self._search_parameters = self._search_parameters.with_window(window)
+
+    # -- search -------------------------------------------------------------------
+    def search(self, queries, k: int,
+               parameters: Optional[VamanaSearchParameters] = None
+               ) -> QueryResult:
+        """Batch greedy search (reference index.h:556-603)."""
+        params = parameters or self._search_parameters
+        cfg = params.buffer_config
+        window = max(cfg.search_window_size, k)
+        capacity = max(cfg.search_buffer_capacity, window, k)
+        max_iters = params.resolved_max_iters()
+
+        queries = np.asarray(queries)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        nq, dim = queries.shape
+        if dim != self.data.dim:
+            raise ValueError(f"query dim {dim} != dataset dim {self.data.dim}")
+        qb = self.query_batch_size
+        entry_ids = jnp.asarray([self.entry_point], dtype=jnp.int32)
+        out_ids = np.empty((nq, k), dtype=np.int64)
+        out_vals = np.empty((nq, k), dtype=np.float32)
+        for start in range(0, nq, qb):
+            stop = min(start + qb, nq)
+            rows = min(qb, dt.pad_to(stop - start, 8))
+            batch = dt.pad_matrix(queries[start:stop].astype(np.float32),
+                                  n_pad=rows, d_pad=self.data.padded_dim)
+            out = search_mod.greedy_search(
+                self.graph, self.data, jnp.asarray(batch), entry_ids,
+                window=window, capacity=capacity, max_iters=max_iters,
+                distance=self.distance)
+            ids = np.asarray(out.ids[: stop - start, :k])
+            keys = np.asarray(out.keys[: stop - start, :k])
+            out_ids[start:stop] = ids
+            out_vals[start:stop] = np.asarray(
+                dist_ops.value_from_key(self.distance, keys))
+        return QueryResult(ids=out_ids, distances=out_vals)
+
+    # -- reconstruction -----------------------------------------------------------
+    def reconstruct_at(self, ids) -> np.ndarray:
+        """Return (decompressed) vectors for the given internal ids
+        (reference index.h:630-671)."""
+        ids = np.asarray(ids, dtype=np.int64)
+        if np.any((ids < 0) | (ids >= self.size)):
+            raise IndexError("reconstruct_at: id out of bounds")
+        flat = jnp.asarray(ids.reshape(-1))
+        vecs = np.asarray(self.data.get_f32(flat))[:, : self.data.dim]
+        return vecs.reshape(*ids.shape, self.data.dim)
+
+    # -- persistence -----------------------------------------------------------------
+    def save(self, config_dir: str, graph_dir: Optional[str] = None,
+             data_dir: Optional[str] = None) -> None:
+        """3-directory layout: config / graph / data are independently
+        loadable and mix-and-matchable (reference index.h:795-817)."""
+        graph_dir = graph_dir or os.path.join(config_dir, "graph")
+        data_dir = data_dir or os.path.join(config_dir, "data")
+        os.makedirs(config_dir, exist_ok=True)
+        saveload.save_to_disk(self.graph, graph_dir)
+        saveload.save_to_disk(self.data, data_dir)
+        build_table = (self.build_parameters.save_table()
+                       if self.build_parameters else None)
+        table = saveload.save_table(self.SCHEMA, self.VERSION, {
+            "name": "vamana index parameters",
+            "entry_point": self.entry_point,
+            "distance": self.distance.value,
+            "build_parameters": build_table,
+            "search_parameters": self._search_parameters.save_table(),
+        })
+        with open(os.path.join(config_dir, CONFIG_FILENAME), "w") as f:
+            json.dump(table, f, indent=2)
+
+    @classmethod
+    def assemble(cls, config_dir: str, graph_dir: Optional[str] = None,
+                 data_dir: Optional[str] = None, dtype=None,
+                 **kwargs) -> "VamanaIndex":
+        graph_dir = graph_dir or os.path.join(config_dir, "graph")
+        data_dir = data_dir or os.path.join(config_dir, "data")
+        with open(os.path.join(config_dir, CONFIG_FILENAME)) as f:
+            table = json.load(f)
+        saveload.check_table(table, cls.SCHEMA, cls.VERSION)
+        graph = saveload.load_from_disk(NeighborGraph, graph_dir)
+        data = saveload.load_from_disk(VectorDataset, data_dir, dtype=dtype)
+        build_params = (VamanaBuildParameters.from_table(
+            table["build_parameters"]) if table.get("build_parameters")
+            else None)
+        search_params = VamanaSearchParameters.from_table(
+            table["search_parameters"])
+        return cls(graph, data, table["entry_point"], table["distance"],
+                   build_parameters=build_params,
+                   search_parameters=search_params, **kwargs)

@@ -1,0 +1,203 @@
+"""Lockstep batched greedy graph search.
+
+TPU-native re-formulation of the reference's greedy best-first traversal
+(``include/svs/index/vamana/greedy_search.h:124-203``) and sorted search
+buffer (``search_buffer.h``).  The reference walks one query at a time with a
+per-query sorted candidate list, prefetch-pipelined scalar distance loops, and
+an optional visited filter.  Here, a whole batch of queries advances in
+lockstep:
+
+* the search buffer is a dense ``(B, C)`` beam (ids / keys / visited flags)
+  kept sorted ascending by key — the sorted-insert becomes a batched
+  sort-merge of ``(B, C + R)`` each iteration;
+* "pop nearest unvisited within the window" is an ``argmax`` over a boolean
+  mask (the beam is sorted, so the first unvisited position is the best);
+* the adjacency fetch + distance loop becomes one HBM row-gather plus a
+  batched matvec on the VPU (``ops.distance.gathered_keys``);
+* per-query termination is a done-flag; finished queries no-op until the
+  whole batch converges (``lax.while_loop``), bounded by ``max_iters``.
+
+The buffer's window/capacity split matches the reference's
+``SearchBufferConfig`` (search_buffer.h:39): expansion candidates are popped
+only from the first ``window`` beam slots, but up to ``capacity`` candidates
+are retained for reranking-style use.
+
+Build-mode history capture (``track_pool=True``) maintains a running
+merge-truncated top-P pool of every candidate scored during the search —
+semantically identical to the reference's full search-history tracker whose
+pool is sorted and resized to ``max_candidate_pool_size`` afterwards
+(``vamana_build.h:409-446``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...core.data import VectorDataset
+from ...core.graph import NeighborGraph
+from ...ops import distance as dist_ops
+from ...ops import topk as topk_ops
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["ids", "keys", "n_iters", "pool_ids", "pool_keys"],
+         meta_fields=[])
+@dataclasses.dataclass
+class SearchOutput:
+    """Beam contents (sorted ascending) + optional build pool per query."""
+
+    ids: jax.Array        # (B, C) int32, -1 where invalid
+    keys: jax.Array       # (B, C) f32, +inf where invalid
+    n_iters: jax.Array    # () int32: lockstep iterations executed
+    pool_ids: jax.Array   # (B, P) int32 or (B, 0) when not tracked
+    pool_keys: jax.Array  # (B, P) f32
+
+
+@partial(jax.jit, static_argnames=(
+    "window", "capacity", "max_iters", "distance", "pool_size"))
+def greedy_search(graph: NeighborGraph,
+                  data: VectorDataset,
+                  queries: jax.Array,
+                  entry_ids: jax.Array,
+                  *,
+                  window: int,
+                  capacity: int,
+                  max_iters: int,
+                  distance: dist_ops.DistanceType,
+                  pool_size: int = 0) -> SearchOutput:
+    """Run lockstep greedy search for a batch of queries.
+
+    Args:
+      queries: (B, d_pad) device array (query dtype is respected; distance
+        accumulates in f32).
+      entry_ids: (E,) or (B, E) int32 entry points (seeded into the beam,
+        reference ``EntryPointInitializer`` greedy_search.h:62-94).
+      window: pop horizon (``search_window_size``).
+      capacity: beam size (``search_buffer_capacity``); >= window.
+      max_iters: static iteration bound (each iteration pops one candidate
+        per query).
+      pool_size: if > 0, track the running top-``pool_size`` of all scored
+        candidates (build mode).
+
+    Returns: SearchOutput with beams sorted ascending by key.
+    """
+    distance = dist_ops.as_distance(distance)
+    b = queries.shape[0]
+    c = capacity
+    r = graph.max_degree
+    if window > capacity:
+        raise ValueError(f"window {window} > capacity {capacity}")
+
+    if entry_ids.ndim == 1:
+        entry_ids = jnp.broadcast_to(entry_ids[None, :],
+                                     (b, entry_ids.shape[0]))
+    e = entry_ids.shape[1]
+
+    q_norms = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)
+
+    def score(ids: jax.Array) -> jax.Array:
+        """(B, K) ids -> (B, K) keys with +inf for invalid ids."""
+        clamped = jnp.maximum(ids, 0)
+        vecs = data.get(clamped)
+        norms = jnp.take(data.norms_sq, clamped, axis=0, mode="clip")
+        keys = dist_ops.gathered_keys(distance, queries, vecs,
+                                      gathered_norms_sq=norms,
+                                      query_norms_sq=q_norms)
+        in_range = (ids >= 0) & (ids < data.n)
+        return jnp.where(in_range, keys, jnp.inf)
+
+    # ---- seed beam with entry points -------------------------------------
+    entry_keys = score(entry_ids)
+    entry_keys = topk_ops.mask_first_duplicates(entry_keys, entry_ids)
+    pad = c - e
+    beam_ids = jnp.concatenate(
+        [entry_ids.astype(jnp.int32),
+         jnp.full((b, pad), -1, jnp.int32)], axis=1) if pad >= 0 else \
+        entry_ids[:, :c].astype(jnp.int32)
+    beam_keys = jnp.concatenate(
+        [entry_keys, jnp.full((b, pad), jnp.inf, jnp.float32)], axis=1) \
+        if pad >= 0 else entry_keys[:, :c]
+    beam_keys, beam_ids = topk_ops.sort_by_key(beam_keys, beam_ids)
+    beam_vis = jnp.zeros((b, c), dtype=jnp.int32)
+
+    track = pool_size > 0
+    p = pool_size if track else 0
+    pool_ids0 = jnp.full((b, max(p, 1)), -1, jnp.int32)[:, :p]
+    pool_keys0 = jnp.full((b, max(p, 1)), jnp.inf, jnp.float32)[:, :p]
+    if track:
+        pool_keys0, pool_ids0 = topk_ops.merge_smallest(
+            pool_keys0, pool_ids0, entry_keys, entry_ids.astype(jnp.int32), p)
+
+    iota_c = jnp.arange(c, dtype=jnp.int32)
+    window_mask = (iota_c < window)[None, :]
+
+    def unvisited_mask(keys, vis):
+        return jnp.isfinite(keys) & (vis == 0) & window_mask
+
+    def cond(state):
+        it, beam_ids, beam_keys, beam_vis, pool_ids, pool_keys = state
+        active = jnp.any(unvisited_mask(beam_keys, beam_vis))
+        return jnp.logical_and(it < max_iters, active)
+
+    def body(state):
+        it, beam_ids, beam_keys, beam_vis, pool_ids, pool_keys = state
+        unvis = unvisited_mask(beam_keys, beam_vis)
+        has = jnp.any(unvis, axis=1)
+        pos = jnp.argmax(unvis, axis=1)            # beam sorted: first = best
+        popped = jnp.take_along_axis(beam_ids, pos[:, None], axis=1)[:, 0]
+
+        # mark visited
+        one_hot = (iota_c[None, :] == pos[:, None]) & has[:, None]
+        beam_vis = jnp.where(one_hot, 1, beam_vis)
+
+        # expand: adjacency gather + candidate scoring
+        nbrs = graph.neighbors(jnp.maximum(popped, 0))
+        nbrs = jnp.where(has[:, None], nbrs, -1)
+        cand_keys = score(nbrs)
+        cand_keys = topk_ops.mask_first_duplicates(cand_keys, nbrs)
+
+        if track:
+            # Duplicates (re-scored ids already in the pool) are tolerated
+            # here and removed once by the build before pruning — cheaper
+            # than an (B, R, P) membership test every iteration.
+            pool_keys, pool_ids = topk_ops.merge_smallest(
+                pool_keys, pool_ids, cand_keys, nbrs, p)
+
+        # beam dedup + sort-merge insert
+        cand_keys = topk_ops.mask_duplicate_ids(cand_keys, nbrs, beam_ids)
+        all_keys = jnp.concatenate([beam_keys, cand_keys], axis=1)
+        all_ids = jnp.concatenate([beam_ids, nbrs], axis=1)
+        all_vis = jnp.concatenate(
+            [beam_vis, jnp.zeros_like(nbrs)], axis=1)
+        s_keys, s_ids, s_vis = jax.lax.sort(
+            (all_keys, all_ids, all_vis), dimension=-1, num_keys=1)
+        new_ids = s_ids[:, :c]
+        new_keys = s_keys[:, :c]
+        new_vis = s_vis[:, :c]
+        # finished queries keep their state
+        keep = has[:, None]
+        beam_ids = jnp.where(keep, new_ids, beam_ids)
+        beam_keys = jnp.where(keep, new_keys, beam_keys)
+        beam_vis = jnp.where(keep, new_vis, beam_vis)
+        return (it + 1, beam_ids, beam_keys, beam_vis, pool_ids, pool_keys)
+
+    state = (jnp.int32(0), beam_ids, beam_keys, beam_vis,
+             pool_ids0, pool_keys0)
+    it, beam_ids, beam_keys, beam_vis, pool_ids, pool_keys = \
+        jax.lax.while_loop(cond, body, state)
+
+    beam_ids = jnp.where(jnp.isfinite(beam_keys), beam_ids, -1)
+    return SearchOutput(ids=beam_ids, keys=beam_keys, n_iters=it,
+                        pool_ids=pool_ids, pool_keys=pool_keys)
+
+
+def default_max_iters(window: int) -> int:
+    """Iteration bound: each pop visits one window slot; re-expansions and
+    evictions add slack.  2W + 16 empirically never truncates convergent
+    searches (the reference loops until the window is fully visited)."""
+    return 2 * window + 16

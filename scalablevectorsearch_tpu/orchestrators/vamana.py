@@ -1,0 +1,107 @@
+"""Vamana orchestrator — the user-facing type-dynamic API.
+
+Analog of the reference's type-erased ``svs::Vamana`` orchestrator
+(``include/svs/orchestrators/vamana.h:287-676``) and its Python binding
+surface (``bindings/python/src/vamana.cpp``).  In Python there is no template
+erasure to perform; this class provides the same entry points — ``build``,
+``assemble``, ``search``, chained parameter accessors, save — over the
+underlying :class:`VamanaIndex`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..core.query_result import QueryResult
+from ..index.vamana.index import VamanaIndex
+from ..index.vamana.params import (VamanaBuildParameters,
+                                   VamanaSearchParameters)
+from ..ops import distance as dist_ops
+
+
+class Vamana:
+    """User-facing static Vamana index manager."""
+
+    def __init__(self, index: VamanaIndex):
+        self._index = index
+
+    # -- construction -------------------------------------------------------
+    @staticmethod
+    def build(parameters: VamanaBuildParameters, data, distance,
+              dtype=None, **kwargs) -> "Vamana":
+        """Build an index from an (n, d) array, file path, or dataset
+        (reference orchestrators/vamana.h:570-600)."""
+        data = _load_if_path(data, dtype)
+        return Vamana(VamanaIndex.build(parameters, data, distance,
+                                        dtype=dtype, **kwargs))
+
+    @staticmethod
+    def assemble(config_dir: str, graph_dir: Optional[str] = None,
+                 data_dir: Optional[str] = None, dtype=None,
+                 **kwargs) -> "Vamana":
+        """Load a saved index (reference vamana.h:420-454)."""
+        return Vamana(VamanaIndex.assemble(config_dir, graph_dir, data_dir,
+                                           dtype=dtype, **kwargs))
+
+    # -- search ---------------------------------------------------------------
+    def search(self, queries, n_neighbors: int) -> QueryResult:
+        return self._index.search(queries, n_neighbors)
+
+    # -- parameter surface ------------------------------------------------------
+    @property
+    def search_window_size(self) -> int:
+        return self._index.search_window_size
+
+    @search_window_size.setter
+    def search_window_size(self, window: int) -> None:
+        self._index.search_window_size = window
+
+    @property
+    def search_parameters(self) -> VamanaSearchParameters:
+        return self._index.search_parameters
+
+    @search_parameters.setter
+    def search_parameters(self, params: VamanaSearchParameters) -> None:
+        self._index.search_parameters = params
+
+    @property
+    def alpha(self) -> float:
+        bp = self._index.build_parameters
+        return bp.alpha if bp else float("nan")
+
+    @property
+    def graph_max_degree(self) -> int:
+        return self._index.graph.max_degree
+
+    @property
+    def size(self) -> int:
+        return self._index.size
+
+    @property
+    def dimensions(self) -> int:
+        return self._index.dimensions
+
+    @property
+    def distance(self) -> dist_ops.DistanceType:
+        return self._index.distance
+
+    # -- misc --------------------------------------------------------------------
+    def reconstruct_at(self, ids) -> np.ndarray:
+        return self._index.reconstruct_at(ids)
+
+    def save(self, config_dir: str, graph_dir: Optional[str] = None,
+             data_dir: Optional[str] = None) -> None:
+        self._index.save(config_dir, graph_dir, data_dir)
+
+    @property
+    def index(self) -> VamanaIndex:
+        return self._index
+
+
+def _load_if_path(data, dtype):
+    if isinstance(data, str):
+        from ..core.io import read_any
+        return read_any(data, dtype=dtype)
+    return data

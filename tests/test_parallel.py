@@ -1,0 +1,85 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh — the analog
+of the reference's threadpool/NUMA coverage, exercised the way the driver's
+dryrun does (SURVEY §4 TPU translation note)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import scalablevectorsearch_tpu as svt
+from scalablevectorsearch_tpu.core.data import VectorDataset
+from scalablevectorsearch_tpu.core.graph import NeighborGraph
+from scalablevectorsearch_tpu.index.vamana.search import (
+    default_max_iters, greedy_search)
+from scalablevectorsearch_tpu.lib.datatypes import pad_matrix
+from scalablevectorsearch_tpu.parallel import mesh as mesh_mod
+from scalablevectorsearch_tpu.parallel import sharded
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()[:8]
+
+
+class TestShardedFlat:
+    @pytest.mark.parametrize("distance", ["l2", "mip"])
+    def test_matches_single_device(self, eight_devices, distance):
+        mesh = mesh_mod.make_mesh(8, axis_name="shard")
+        data, queries = svt.generate_test_dataset(3000, 40, 32, seed=11)
+        ds = sharded.shard_dataset(VectorDataset.from_array(data), mesh)
+        q = jnp.asarray(pad_matrix(queries))
+        keys, ids = sharded.sharded_flat_search(mesh, ds, q, 10, distance,
+                                                tile=128)
+        gt = svt.exhaustive_search(data, queries, 10, distance=distance)
+        assert svt.k_recall_at_n(gt.ids, np.asarray(ids)[:40]) >= 0.999
+
+    def test_global_ids_cover_all_shards(self, eight_devices):
+        mesh = mesh_mod.make_mesh(8, axis_name="shard")
+        rng = np.random.default_rng(0)
+        data = rng.normal(size=(800, 16)).astype(np.float32)
+        ds = sharded.shard_dataset(VectorDataset.from_array(data), mesh)
+        # query = each of 8 evenly spaced dataset rows -> nearest is itself
+        picks = np.arange(0, 800, 100)
+        q = jnp.asarray(pad_matrix(data[picks]))
+        keys, ids = sharded.sharded_flat_search(mesh, ds, q, 1, "l2",
+                                                tile=128)
+        np.testing.assert_array_equal(np.asarray(ids)[: len(picks), 0], picks)
+
+
+class TestDpSearch:
+    def test_matches_single_device(self, eight_devices):
+        mesh = mesh_mod.make_mesh(8, axis_name="dp")
+        data, queries = svt.generate_test_dataset(2000, 64, 32, seed=3)
+        ds = VectorDataset.from_array(data)
+        rng = np.random.default_rng(1)
+        adj = rng.integers(0, 2000, size=(2000, 12)).astype(np.int32)
+        graph = NeighborGraph.from_array(adj)
+        q = jnp.asarray(pad_matrix(queries))
+        entry = jnp.asarray([0], dtype=jnp.int32)
+        kwargs = dict(window=16, capacity=16, max_iters=48, distance="l2")
+        single = greedy_search(graph, ds, q, entry, **kwargs)
+        multi = sharded.dp_greedy_search(mesh, graph, ds, q, entry, **kwargs)
+        np.testing.assert_array_equal(np.asarray(single.ids),
+                                      np.asarray(multi.ids))
+
+
+class TestDpBuildRound:
+    def test_round_executes_and_commits(self, eight_devices):
+        mesh = mesh_mod.make_mesh(8, axis_name="dp")
+        data, _ = svt.generate_test_dataset(512, 8, 16, seed=5)
+        ds = VectorDataset.from_array(data)
+        graph = NeighborGraph.empty(512, 8)
+        b = 64
+        ids = jnp.arange(b, dtype=jnp.int32)
+        valid = jnp.ones((b,), bool)
+        g2, ov_dst, ov_src, ov_mask = sharded.dp_build_round(
+            mesh, graph, ds, ids, valid, jnp.asarray([0], jnp.int32),
+            window=16, capacity=16, max_iters=default_max_iters(16),
+            distance="l2", pool_size=32, gen_alpha=1.2,
+            max_degree=8, prune_chunk=8)
+        degs = np.asarray(g2.degrees[:b])
+        assert degs.max() <= 8
+        assert degs[1:].min() >= 1  # every non-entry node got linked
