@@ -97,6 +97,20 @@ class VectorDataset:
     def to_numpy(self) -> np.ndarray:
         return np.asarray(self.vectors[: self.n, : self.dim])
 
+    def tile_keys(self, queries: jax.Array, q_norms: jax.Array,
+                  start, tile: int, distance) -> jax.Array:
+        """Distance keys between all queries and one dataset tile — the
+        extension point compressed datasets override with code-domain
+        kernels (the analog of the reference's per-dataset ``svs_invoke``
+        overloads, extensions/flat/scalar.h)."""
+        from ..ops import distance as dist_ops
+        xs = jax.lax.dynamic_slice(self.vectors, (start, 0),
+                                   (tile, self.vectors.shape[1]))
+        ns = jax.lax.dynamic_slice(self.norms_sq, (start,), (tile,))
+        return dist_ops.pairwise_keys(distance, queries, xs,
+                                      vector_norms_sq=ns,
+                                      query_norms_sq=q_norms)
+
     # -- mutation (functional) ------------------------------------------------
     def set_rows(self, start: int, rows: jax.Array, new_n: Optional[int] = None
                  ) -> "VectorDataset":

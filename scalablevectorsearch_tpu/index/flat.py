@@ -44,7 +44,7 @@ def flat_search_kernel(data: VectorDataset, queries: jax.Array, k: int,
 
     Returns: keys (B, k) ascending, ids (B, k) int32 (-1 for missing).
     """
-    capacity = data.vectors.shape[0]
+    capacity = data.capacity
     assert capacity % tile == 0, "dataset capacity must be a tile multiple"
     num_tiles = capacity // tile
     b = queries.shape[0]
@@ -56,12 +56,9 @@ def flat_search_kernel(data: VectorDataset, queries: jax.Array, k: int,
     def body(t, carry):
         best_keys, best_ids = carry
         start = t * tile
-        xs = jax.lax.dynamic_slice(data.vectors, (start, 0),
-                                   (tile, data.vectors.shape[1]))
-        ns = jax.lax.dynamic_slice(data.norms_sq, (start,), (tile,))
-        keys = dist_ops.pairwise_keys(distance, queries, xs,
-                                      vector_norms_sq=ns,
-                                      query_norms_sq=q_norms)
+        # dataset-type extension point: compressed datasets compute keys in
+        # the code domain (quantization/scalar.py tile_keys)
+        keys = data.tile_keys(queries, q_norms, start, tile, distance)
         ids = start + jnp.arange(tile, dtype=jnp.int32)
         keys = jnp.where((ids < data.n)[None, :], keys, jnp.inf)
         if row_mask is not None:

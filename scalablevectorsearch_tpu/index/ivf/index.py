@@ -1,0 +1,289 @@
+"""Static IVF index.
+
+TPU-native analog of the reference's ``IVFIndex``
+(``include/svs/index/ivf/index.h:111``).  The reference's two-phase search —
+GEMM to all centroids, then threadpool scans over contiguous posting lists
+(``index.h:410-458``, two-level threading ``index.h:117-158``) — maps to:
+
+  phase 1: one (B, K) MXU distance matmul + top-n_probes
+           (the reference's ``search_centroids``, common.h:854-890);
+  phase 2: a ``fori_loop`` over probe slots where each step row-gathers one
+           posting-list tile for the whole query batch and folds it into a
+           running top-(k_reorder * k) state (the reference's
+           ``search_leaves``, common.h:897-925, with the intra-query
+           threadpool replaced by batch parallelism);
+  phase 3: optional full-precision re-scoring of the k_reorder * k survivors
+           (the k_reorder reranking knob) and final top-k.
+
+Posting lists are stored as **uniform padded clusters** inside one reordered
+dataset (cluster c owns rows [c*slot, (c+1)*slot)), the dense-regular analog
+of the reference's ``DenseClusteredDataset`` (ivf/clustering.h:314): slices
+replace pointer-chased list offsets, at the cost of padding — acceptable on
+TPU where regular layout buys back far more than the padding wastes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.data import VectorDataset
+from ...core.query_result import QueryResult
+from ...lib import datatypes as dt
+from ...lib import saveload
+from ...ops import distance as dist_ops
+from ...ops import topk as topk_ops
+from .clustering import Clustering
+from .params import IVFBuildParameters, IVFSearchParameters
+
+CONFIG_FILENAME = "ivf_config.json"
+
+
+@partial(jax.jit, static_argnames=(
+    "n_probes", "keep", "slot", "sub", "distance"))
+def ivf_search_kernel(centroids: jax.Array, centroid_norms: jax.Array,
+                      data, ids_padded: jax.Array, queries: jax.Array,
+                      *, n_probes: int, keep: int, slot: int, sub: int,
+                      distance: dist_ops.DistanceType):
+    """Two-phase IVF search for a query batch.
+
+    Returns (keys (B, keep), positions (B, keep)) where positions index the
+    *reordered* padded layout (map through ids_padded for original ids —
+    already applied here, returns original ids).
+    """
+    distance = dist_ops.as_distance(distance)
+    b = queries.shape[0]
+    q_norms = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)
+
+    # phase 1: centroid distances + top-n_probes (search_centroids)
+    ckeys = dist_ops.pairwise_keys(distance, queries, centroids,
+                                   vector_norms_sq=centroid_norms,
+                                   query_norms_sq=q_norms)
+    _, probes = topk_ops.smallest_k(ckeys, None, n_probes)  # (B, P)
+
+    # phase 2: posting-list scan, sub-tiles of `sub` rows per step
+    n_sub = slot // sub
+    init = (jnp.full((b, keep), jnp.inf, jnp.float32),
+            jnp.full((b, keep), -1, jnp.int32))
+
+    def body(step, carry):
+        best_keys, best_ids = carry
+        p = step // n_sub
+        s = step % n_sub
+        cluster = jnp.take_along_axis(probes, p[None, None].repeat(b, 0),
+                                      axis=1)[:, 0]
+        base = cluster * slot + s * sub
+        rows = base[:, None] + jnp.arange(sub, dtype=jnp.int32)[None, :]
+        orig_ids = jnp.take(ids_padded, rows, mode="clip")       # (B, sub)
+        vecs = data.get(rows)                                    # (B, sub, d)
+        norms = jnp.take(data.norms_sq, rows, mode="clip")
+        keys = dist_ops.gathered_keys(distance, queries, vecs,
+                                      gathered_norms_sq=norms,
+                                      query_norms_sq=q_norms)
+        keys = jnp.where((orig_ids >= 0) & (cluster >= 0)[:, None],
+                         keys, jnp.inf)
+        return topk_ops.merge_smallest(best_keys, best_ids, keys,
+                                       orig_ids, keep)
+
+    keys, ids = jax.lax.fori_loop(0, n_probes * n_sub, body, init)
+    return keys, ids
+
+
+@partial(jax.jit, static_argnames=("k", "distance"))
+def rerank_kernel(rerank_data, queries: jax.Array, cand_keys: jax.Array,
+                  cand_ids: jax.Array, *, k: int,
+                  distance: dist_ops.DistanceType):
+    """Full-precision re-scoring of scan survivors (the k_reorder pass)."""
+    q_norms = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)
+    vecs = rerank_data.get(jnp.maximum(cand_ids, 0))
+    norms = jnp.take(rerank_data.norms_sq, jnp.maximum(cand_ids, 0),
+                     mode="clip")
+    keys = dist_ops.gathered_keys(distance, queries, vecs,
+                                  gathered_norms_sq=norms,
+                                  query_norms_sq=q_norms)
+    keys = jnp.where(cand_ids >= 0, keys, jnp.inf)
+    return topk_ops.smallest_k(keys, cand_ids, k)
+
+
+class IVFIndex:
+    """Static IVF index over padded dense clusters."""
+
+    SCHEMA = "ivf_index_parameters"
+    VERSION = saveload.Version(0, 0, 1)
+
+    def __init__(self, centroids, data, ids_padded, slot: int, n: int,
+                 distance, search_parameters: Optional[IVFSearchParameters]
+                 = None, build_parameters: Optional[IVFBuildParameters] = None,
+                 rerank_data=None, query_batch_size: int = 512,
+                 scan_subtile: int = 256, logger=None):
+        centroids = np.asarray(centroids, dtype=np.float32)
+        d_pad = data.padded_dim
+        if centroids.shape[1] < d_pad:   # pad to the dataset's lane width
+            centroids = np.pad(
+                centroids, ((0, 0), (0, d_pad - centroids.shape[1])))
+        self.centroids = jnp.asarray(centroids)
+        self.centroid_norms = jnp.sum(self.centroids ** 2, axis=-1)
+        self.data = data                      # reordered padded dataset
+        self.ids_padded = jnp.asarray(ids_padded, dtype=jnp.int32)
+        self.slot = slot
+        self.n = n
+        self.distance = dist_ops.as_distance(distance)
+        self.search_parameters = search_parameters or IVFSearchParameters()
+        self.build_parameters = build_parameters
+        self.rerank_data = rerank_data
+        self.query_batch_size = query_batch_size
+        self.scan_subtile = scan_subtile
+        self.logger = logger
+
+    # -- assembly ----------------------------------------------------------------
+    @classmethod
+    def assemble_from_clustering(cls, clustering: Clustering, data,
+                                 distance, dataset_cls=VectorDataset,
+                                 rerank: bool = False, **kwargs) -> "IVFIndex":
+        """Pack posting lists into the padded reordered layout
+        (reference assemble path, ivf.cpp:207-380 + clustering.h:314)."""
+        x = data.to_numpy() if hasattr(data, "to_numpy") else \
+            np.asarray(data, dtype=np.float32)
+        n = x.shape[0]
+        assign = np.asarray(clustering.assignments)
+        k = clustering.num_centroids
+        sizes = np.bincount(assign, minlength=k)
+        slot = int(dt.pad_to(max(int(sizes.max()), 1), 8))
+        order = np.argsort(assign, kind="stable")
+        total = k * slot
+        ids_padded = np.full(total, -1, dtype=np.int32)
+        rows = np.zeros((total, x.shape[1]), dtype=x.dtype)
+        starts = np.zeros(k + 1, dtype=np.int64)
+        np.cumsum(sizes, out=starts[1:])
+        for c in range(k):
+            seg = order[starts[c]: starts[c + 1]]
+            ids_padded[c * slot: c * slot + seg.size] = seg
+            rows[c * slot: c * slot + seg.size] = x[seg]
+
+        reordered = dataset_cls.compress(rows) if hasattr(
+            dataset_cls, "compress") else dataset_cls.from_array(rows)
+        # padding rows must never win: poison their norms
+        mask = jnp.asarray(ids_padded >= 0)
+        reordered = dataclasses.replace(
+            reordered,
+            norms_sq=jnp.where(mask, reordered.norms_sq, jnp.inf))
+        rerank_data = VectorDataset.from_array(x) if rerank else None
+        waste = total / max(n, 1)
+        logger = kwargs.get("logger")
+        if logger is not None:
+            logger.info("ivf assemble: K=%d slot=%d padding factor %.2fx",
+                        k, slot, waste)
+        return cls(clustering.centroids, reordered, ids_padded, slot, n,
+                   distance, rerank_data=rerank_data, **kwargs)
+
+    @classmethod
+    def build(cls, build_parameters: IVFBuildParameters, data, distance,
+              **kwargs) -> "IVFIndex":
+        """Train + assemble in one call (reference auto-build path)."""
+        clustering = Clustering.build(build_parameters, data)
+        index = cls.assemble_from_clustering(clustering, data, distance,
+                                             **kwargs)
+        index.build_parameters = build_parameters
+        return index
+
+    # -- properties -----------------------------------------------------------------
+    @property
+    def size(self) -> int:
+        return self.n
+
+    @property
+    def dimensions(self) -> int:
+        return self.data.dim
+
+    @property
+    def num_centroids(self) -> int:
+        return self.centroids.shape[0]
+
+    # -- search ------------------------------------------------------------------------
+    def search(self, queries, k: int,
+               parameters: Optional[IVFSearchParameters] = None
+               ) -> QueryResult:
+        params = parameters or self.search_parameters
+        n_probes = min(params.n_probes, self.num_centroids)
+        keep = max(k * params.k_reorder, k)
+        sub = min(self.scan_subtile, self.slot)
+        while self.slot % sub != 0:
+            sub //= 2
+
+        queries = np.asarray(queries)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        nq, dim = queries.shape
+        if dim != self.data.dim:
+            raise ValueError(f"query dim {dim} != dataset dim "
+                             f"{self.data.dim}")
+        qb = self.query_batch_size
+        out_ids = np.empty((nq, k), dtype=np.int64)
+        out_vals = np.empty((nq, k), dtype=np.float32)
+        for start in range(0, nq, qb):
+            stop = min(start + qb, nq)
+            batch = dt.pad_matrix(queries[start:stop].astype(np.float32),
+                                  n_pad=min(qb, dt.pad_to(stop - start, 8)),
+                                  d_pad=self.data.padded_dim)
+            qdev = jnp.asarray(batch)
+            keys, ids = ivf_search_kernel(
+                self.centroids, self.centroid_norms, self.data,
+                self.ids_padded, qdev, n_probes=n_probes, keep=keep,
+                slot=self.slot, sub=sub, distance=self.distance)
+            if self.rerank_data is not None and keep > k:
+                keys, ids = rerank_kernel(self.rerank_data, qdev, keys, ids,
+                                          k=k, distance=self.distance)
+            else:
+                keys, ids = keys[:, :k], ids[:, :k]
+            out_ids[start:stop] = np.asarray(ids[: stop - start])
+            out_vals[start:stop] = np.asarray(dist_ops.value_from_key(
+                self.distance, keys[: stop - start]))
+        return QueryResult(ids=out_ids, distances=out_vals)
+
+    # -- persistence --------------------------------------------------------------------
+    def save(self, config_dir: str, data_dir: Optional[str] = None) -> None:
+        data_dir = data_dir or os.path.join(config_dir, "data")
+        os.makedirs(config_dir, exist_ok=True)
+        saveload.save_to_disk(self.data, data_dir)
+        ctx = saveload.SaveContext(config_dir)
+        table = saveload.save_table(self.SCHEMA, self.VERSION, {
+            "distance": self.distance.value,
+            "slot": self.slot,
+            "num_points": self.n,
+            "centroids": ctx.save_array(np.asarray(self.centroids)),
+            "ids_padded": ctx.save_array(np.asarray(self.ids_padded)),
+            "search_parameters": self.search_parameters.save_table(),
+            "build_parameters": (self.build_parameters.save_table()
+                                 if self.build_parameters else None),
+        })
+        with open(os.path.join(config_dir, CONFIG_FILENAME), "w") as f:
+            json.dump(table, f, indent=2)
+
+    @classmethod
+    def assemble_from_file(cls, config_dir: str,
+                           data_dir: Optional[str] = None,
+                           **kwargs) -> "IVFIndex":
+        data_dir = data_dir or os.path.join(config_dir, "data")
+        with open(os.path.join(config_dir, CONFIG_FILENAME)) as f:
+            table = json.load(f)
+        saveload.check_table(table, cls.SCHEMA, cls.VERSION)
+        ctx = saveload.LoadContext(config_dir)
+        from ...core.loading import dispatch_load
+        data = dispatch_load(data_dir)
+        mask = jnp.asarray(ctx.load_array(table["ids_padded"]) >= 0)
+        data = dataclasses.replace(
+            data, norms_sq=jnp.where(mask, data.norms_sq, jnp.inf))
+        sp = IVFSearchParameters.from_table(table["search_parameters"])
+        bp = (IVFBuildParameters.from_table(table["build_parameters"])
+              if table.get("build_parameters") else None)
+        return cls(ctx.load_array(table["centroids"]), data,
+                   ctx.load_array(table["ids_padded"]), table["slot"],
+                   table["num_points"], table["distance"],
+                   search_parameters=sp, build_parameters=bp, **kwargs)

@@ -48,6 +48,7 @@ from . import search as search_mod
 from .params import VamanaBuildParameters
 
 _INT_MAX = jnp.int32(2 ** 31 - 1)
+MAX_BACKEDGES = 16   # per-destination reverse-edge overflow cap per round
 
 
 def _score_against(data: VectorDataset, distance, queries, q_norms, ids):
@@ -94,7 +95,8 @@ def _prune_pools(data: VectorDataset, pool_ids, pool_keys, self_ids,
 
 @partial(jax.jit, static_argnames=(
     "window", "capacity", "max_iters", "distance", "pool_size",
-    "gen_alpha", "max_degree", "prune_chunk"))
+    "gen_alpha", "rev_alpha", "prune_to", "max_degree", "prune_chunk",
+    "pop_width"))
 def build_round(graph: NeighborGraph,
                 data: VectorDataset,
                 batch_ids: jax.Array,
@@ -103,12 +105,16 @@ def build_round(graph: NeighborGraph,
                 *,
                 window: int, capacity: int, max_iters: int,
                 distance: dist_ops.DistanceType, pool_size: int,
-                gen_alpha: float, max_degree: int,
-                prune_chunk: int):
-    """One synchronous build round over a batch of nodes.
+                gen_alpha: float, rev_alpha: float, prune_to: int,
+                max_degree: int, prune_chunk: int, pop_width: int = 4):
+    """One fully-fused synchronous build round over a batch of nodes:
+    search -> prune -> commit -> reverse-edge append -> on-device overflow
+    grouping -> reprune.  A single jit call with no host synchronization, so
+    consecutive rounds pipeline through the dispatch queue.
 
-    Returns (graph, overflow_dst (b*R,), overflow_src (b*R,), overflow_valid).
-    Overflowing destinations must then be re-pruned via :func:`reprune_nodes`.
+    Returns (graph, dropped_backedges) where ``dropped_backedges`` counts
+    overflow backedges beyond the static per-round capacities (rare; a
+    quality-diagnostic only — the reference's BackedgeBuffer is unbounded).
     """
     r = max_degree
     b = batch_ids.shape[0]
@@ -119,7 +125,7 @@ def build_round(graph: NeighborGraph,
     out = search_mod.greedy_search(
         graph, data, queries, entry_ids,
         window=window, capacity=capacity, max_iters=max_iters,
-        distance=distance, pool_size=pool_size)
+        distance=distance, pool_size=pool_size, pop_width=pop_width)
     pool_ids, pool_keys = out.pool_ids, out.pool_keys
 
     # --- merge current adjacency (vamana_build.h:424-441) ----------------
@@ -172,13 +178,43 @@ def build_round(graph: NeighborGraph,
     append_ok = valid_s & (slot < r)
     graph = graph.scatter_edges(dst_s, slot, src_s, append_ok)
 
+    # --- 4. on-device overflow grouping + reprune -------------------------
+    # Overflow entries are contiguous per destination in the sorted edge
+    # stream; group them into a (M_cap, KB) backedge matrix without leaving
+    # the device (the BackedgeBuffer analog, vamana_build.h:106-162).
     overflow = valid_s & (slot >= r)
-    return graph, dst_s, src_s, overflow
+    m_cap = b                      # static: at most one group per batch node
+    kb = MAX_BACKEDGES
+    prev_ov = jnp.concatenate([jnp.zeros((1,), bool), overflow[:-1]])
+    ov_first = overflow & (~prev_ov | seg_start)
+    group_id = jnp.cumsum(ov_first.astype(jnp.int32)) - 1
+    first_ov_idx = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(ov_first, iota_e, 0))
+    col = iota_e - first_ov_idx
+    in_cap = overflow & (group_id < m_cap) & (col < kb)
+    dropped = jnp.sum(overflow & ~in_cap)
+
+    oob_back = m_cap * kb
+    back_flat = jnp.full((m_cap * kb + 1,), -1, jnp.int32)
+    back_idx = jnp.where(in_cap, group_id * kb + col, oob_back)
+    back_flat = back_flat.at[back_idx].set(src_s, mode="drop")
+    backedges = back_flat[:m_cap * kb].reshape(m_cap, kb)
+
+    ov_ids = jnp.zeros((m_cap,), jnp.int32)
+    ov_idx = jnp.where(ov_first & (group_id < m_cap), group_id, m_cap)
+    ov_ids = jnp.concatenate([ov_ids, jnp.zeros((1,), jnp.int32)])\
+        .at[ov_idx].set(dst_s, mode="drop")[:m_cap]
+    n_groups = jnp.sum(ov_first.astype(jnp.int32))
+    ov_valid = jnp.arange(m_cap) < jnp.minimum(n_groups, m_cap)
+
+    graph = _reprune_body(graph, data, ov_ids, ov_valid, backedges,
+                          alpha=rev_alpha, prune_to=prune_to,
+                          distance=distance, max_degree=r,
+                          prune_chunk=prune_chunk)
+    return graph, dropped
 
 
-@partial(jax.jit, static_argnames=(
-    "alpha", "prune_to", "distance", "max_degree", "prune_chunk"))
-def reprune_nodes(graph: NeighborGraph,
+def _reprune_body(graph: NeighborGraph,
                   data: VectorDataset,
                   node_ids: jax.Array,
                   node_valid: jax.Array,
@@ -208,53 +244,14 @@ def reprune_nodes(graph: NeighborGraph,
     return graph.replace_rows(commit, rows, degs)
 
 
+reprune_nodes = partial(jax.jit, static_argnames=(
+    "alpha", "prune_to", "distance", "max_degree", "prune_chunk"))(
+        _reprune_body)
+
+
 # ---------------------------------------------------------------------------
 # Host-side build driver
 # ---------------------------------------------------------------------------
-
-REPRUNE_CHUNK = 256        # destinations per reprune kernel call
-MAX_BACKEDGES = 64         # per-destination overflow cap per round (padded)
-
-
-def _process_overflow(graph, data, dst, src, overflow_mask, *, alpha,
-                      prune_to, distance, max_degree, prune_chunk, logger):
-    """Group overflow edges by destination on the host and run chunked
-    reprune kernels (analog of BackedgeBuffer bucket processing)."""
-    dst = np.asarray(dst)[np.asarray(overflow_mask)]
-    src = np.asarray(src)[np.asarray(overflow_mask)]
-    if dst.size == 0:
-        return graph
-    uniq, inverse, counts = np.unique(dst, return_inverse=True,
-                                      return_counts=True)
-    m = uniq.size
-    kb = MAX_BACKEDGES
-    back = np.full((m, kb), -1, dtype=np.int32)
-    fill = np.zeros(m, dtype=np.int64)
-    dropped = 0
-    for edge_idx, g in enumerate(inverse):
-        if fill[g] < kb:
-            back[g, fill[g]] = src[edge_idx]
-            fill[g] += 1
-        else:
-            dropped += 1
-    if dropped:
-        logger.debug("reverse-edge overflow: dropped %d backedges beyond "
-                     "%d-per-node cap", dropped, kb)
-    for start in range(0, m, REPRUNE_CHUNK):
-        stop = min(start + REPRUNE_CHUNK, m)
-        pad = REPRUNE_CHUNK - (stop - start)
-        ids = np.pad(uniq[start:stop].astype(np.int32), (0, pad),
-                     constant_values=0)
-        valid = np.pad(np.ones(stop - start, bool), (0, pad))
-        bk = np.pad(back[start:stop], ((0, pad), (0, 0)),
-                    constant_values=-1)
-        graph = reprune_nodes(
-            graph, data, jnp.asarray(ids), jnp.asarray(valid),
-            jnp.asarray(bk), alpha=alpha, prune_to=prune_to,
-            distance=distance, max_degree=max_degree,
-            prune_chunk=prune_chunk)
-    return graph
-
 
 def default_batch_size(n: int) -> int:
     """Reference batch schedule: num_batches = max(40, n/4096)
@@ -269,6 +266,7 @@ def build_graph(data: VectorDataset,
                 entry_point: Optional[int] = None,
                 batch_size: Optional[int] = None,
                 prune_chunk: int = 128,
+                pop_width: int = 4,
                 logger=None,
                 timer: Optional[timing.Timer] = None,
                 ) -> Tuple[NeighborGraph, int]:
@@ -300,26 +298,30 @@ def build_graph(data: VectorDataset,
     logger.info("vamana build: n=%d R=%d window=%d pool=%d batch=%d "
                 "(%d rounds/pass)", n, r, window, pool_size, b, num_batches)
 
+    dropped_counts = []
     for pass_idx, rev_alpha in enumerate(pass_alphas):
-        for batch_idx in range(num_batches):
-            start = batch_idx * b
-            ids = np.arange(start, start + b, dtype=np.int32)
-            valid = ids < n
-            ids = np.minimum(ids, n - 1)
-            with timer.scope("build round"):
-                graph, ov_dst, ov_src, ov_mask = build_round(
+        with timer.scope(f"pass {pass_idx + 1}"):
+            for batch_idx in range(num_batches):
+                start = batch_idx * b
+                ids = np.arange(start, start + b, dtype=np.int32)
+                valid = ids < n
+                ids = np.minimum(ids, n - 1)
+                # fully-fused async round: no host sync — rounds pipeline
+                graph, dropped = build_round(
                     graph, data, jnp.asarray(ids), jnp.asarray(valid),
                     entry_ids,
                     window=window, capacity=capacity, max_iters=max_iters,
                     distance=distance, pool_size=pool_size,
                     gen_alpha=float(params.alpha),
-                    max_degree=r, prune_chunk=prune_chunk)
-            with timer.scope("reverse overflow"):
-                graph = _process_overflow(
-                    graph, data, ov_dst, ov_src, ov_mask,
-                    alpha=float(rev_alpha), prune_to=params.prune_to,
-                    distance=distance, max_degree=r,
-                    prune_chunk=prune_chunk, logger=logger)
+                    rev_alpha=float(rev_alpha), prune_to=params.prune_to,
+                    max_degree=r, prune_chunk=prune_chunk,
+                    pop_width=pop_width)
+                dropped_counts.append(dropped)
+            jax.block_until_ready(graph.adjacency)
         logger.info("pass %d/%d complete (alpha=%.3f)", pass_idx + 1,
                     len(pass_alphas), rev_alpha)
+    total_dropped = int(sum(int(d) for d in dropped_counts))
+    if total_dropped:
+        logger.debug("build dropped %d overflow backedges beyond static "
+                     "caps", total_dropped)
     return graph, int(entry)

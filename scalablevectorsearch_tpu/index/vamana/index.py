@@ -71,17 +71,20 @@ class VamanaIndex:
               *,
               dtype=None,
               batch_size: Optional[int] = None,
+              pop_width: int = 4,
               timer: Optional[timing.Timer] = None,
               logger=None,
               **kwargs) -> "VamanaIndex":
-        """Build from an array or VectorDataset (reference auto_build)."""
-        if not isinstance(data, VectorDataset):
+        """Build from an array or any dataset-protocol object (reference
+        auto_build); compressed datasets (SQ/LVQ) build via their
+        decompression accessors like the reference's DecompressionAdaptor."""
+        if not hasattr(data, "norms_sq"):  # raw array -> uncompressed dataset
             data = VectorDataset.from_array(data, dtype=dtype)
         distance = dist_ops.as_distance(distance)
         parameters = parameters.resolved(distance)
         graph, entry = build_mod.build_graph(
             data, parameters, distance, batch_size=batch_size,
-            timer=timer, logger=logger)
+            pop_width=pop_width, timer=timer, logger=logger)
         return cls(graph, data, entry, distance,
                    build_parameters=parameters, logger=logger, **kwargs)
 
@@ -190,7 +193,8 @@ class VamanaIndex:
             table = json.load(f)
         saveload.check_table(table, cls.SCHEMA, cls.VERSION)
         graph = saveload.load_from_disk(NeighborGraph, graph_dir)
-        data = saveload.load_from_disk(VectorDataset, data_dir, dtype=dtype)
+        from ...core.loading import dispatch_load
+        data = dispatch_load(data_dir, **({"dtype": dtype} if dtype else {}))
         build_params = (VamanaBuildParameters.from_table(
             table["build_parameters"]) if table.get("build_parameters")
             else None)

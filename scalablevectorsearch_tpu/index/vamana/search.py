@@ -59,7 +59,7 @@ class SearchOutput:
 
 
 @partial(jax.jit, static_argnames=(
-    "window", "capacity", "max_iters", "distance", "pool_size"))
+    "window", "capacity", "max_iters", "distance", "pool_size", "pop_width"))
 def greedy_search(graph: NeighborGraph,
                   data: VectorDataset,
                   queries: jax.Array,
@@ -69,7 +69,8 @@ def greedy_search(graph: NeighborGraph,
                   capacity: int,
                   max_iters: int,
                   distance: dist_ops.DistanceType,
-                  pool_size: int = 0) -> SearchOutput:
+                  pool_size: int = 0,
+                  pop_width: int = 4) -> SearchOutput:
     """Run lockstep greedy search for a batch of queries.
 
     Args:
@@ -83,6 +84,12 @@ def greedy_search(graph: NeighborGraph,
         per query).
       pool_size: if > 0, track the running top-``pool_size`` of all scored
         candidates (build mode).
+      pop_width: number of beam entries expanded per lockstep iteration
+        (multi-pop).  1 reproduces the reference's strictly-best-first order;
+        larger values trade a slightly eager expansion order for ~pop_width x
+        fewer sequential iterations — on TPU the per-iteration cost is
+        latency-bound, so this is nearly a pure win (recall impact is
+        validated to be negligible-to-positive in tests/benchmarks).
 
     Returns: SearchOutput with beams sorted ascending by key.
     """
@@ -135,6 +142,7 @@ def greedy_search(graph: NeighborGraph,
 
     iota_c = jnp.arange(c, dtype=jnp.int32)
     window_mask = (iota_c < window)[None, :]
+    m = pop_width
 
     def unvisited_mask(keys, vis):
         return jnp.isfinite(keys) & (vis == 0) & window_mask
@@ -144,20 +152,28 @@ def greedy_search(graph: NeighborGraph,
         active = jnp.any(unvisited_mask(beam_keys, beam_vis))
         return jnp.logical_and(it < max_iters, active)
 
+    big = jnp.int32(c + 1)
+
     def body(state):
         it, beam_ids, beam_keys, beam_vis, pool_ids, pool_keys = state
         unvis = unvisited_mask(beam_keys, beam_vis)
-        has = jnp.any(unvis, axis=1)
-        pos = jnp.argmax(unvis, axis=1)            # beam sorted: first = best
-        popped = jnp.take_along_axis(beam_ids, pos[:, None], axis=1)[:, 0]
+        # first m unvisited positions (beam sorted => best m)
+        pos_score = jnp.where(unvis, iota_c[None, :], big)
+        neg, _ = jax.lax.top_k(-pos_score, m)          # (B, m)
+        pos = -neg
+        has = pos < big                                 # (B, m) valid pops
+        pos_c = jnp.minimum(pos, c - 1)
+        popped = jnp.take_along_axis(beam_ids, pos_c, axis=1)   # (B, m)
 
-        # mark visited
-        one_hot = (iota_c[None, :] == pos[:, None]) & has[:, None]
-        beam_vis = jnp.where(one_hot, 1, beam_vis)
+        # mark popped visited
+        hit = jnp.any((iota_c[None, None, :] == pos_c[:, :, None])
+                      & has[:, :, None], axis=1)
+        beam_vis = jnp.where(hit, 1, beam_vis)
 
-        # expand: adjacency gather + candidate scoring
-        nbrs = graph.neighbors(jnp.maximum(popped, 0))
-        nbrs = jnp.where(has[:, None], nbrs, -1)
+        # expand: adjacency gather + candidate scoring, m rows per query
+        nbrs = graph.neighbors(jnp.maximum(popped, 0).reshape(-1))
+        nbrs = nbrs.reshape(b, m * r)
+        nbrs = jnp.where(jnp.repeat(has, r, axis=1), nbrs, -1)
         cand_keys = score(nbrs)
         cand_keys = topk_ops.mask_first_duplicates(cand_keys, nbrs)
 
@@ -176,14 +192,10 @@ def greedy_search(graph: NeighborGraph,
             [beam_vis, jnp.zeros_like(nbrs)], axis=1)
         s_keys, s_ids, s_vis = jax.lax.sort(
             (all_keys, all_ids, all_vis), dimension=-1, num_keys=1)
-        new_ids = s_ids[:, :c]
-        new_keys = s_keys[:, :c]
-        new_vis = s_vis[:, :c]
-        # finished queries keep their state
-        keep = has[:, None]
-        beam_ids = jnp.where(keep, new_ids, beam_ids)
-        beam_keys = jnp.where(keep, new_keys, beam_keys)
-        beam_vis = jnp.where(keep, new_vis, beam_vis)
+        keep = jnp.any(has, axis=1)[:, None]
+        beam_ids = jnp.where(keep, s_ids[:, :c], beam_ids)
+        beam_keys = jnp.where(keep, s_keys[:, :c], beam_keys)
+        beam_vis = jnp.where(keep, s_vis[:, :c], beam_vis)
         return (it + 1, beam_ids, beam_keys, beam_vis, pool_ids, pool_keys)
 
     state = (jnp.int32(0), beam_ids, beam_keys, beam_vis,

@@ -1,0 +1,144 @@
+"""IVF tests: k-means training quality, clustering container, index recall
+sweeps vs exact ground truth, rerank, persistence (mirrors
+tests/svs/index/ivf/ + tests/integration/ivf/)."""
+
+import numpy as np
+import pytest
+
+import scalablevectorsearch_tpu as svt
+from scalablevectorsearch_tpu.index.ivf.clustering import Clustering
+from scalablevectorsearch_tpu.index.ivf.index import IVFIndex
+from scalablevectorsearch_tpu.index.ivf.kmeans import (
+    assign_full, hierarchical_kmeans, kmeans_training, train_clustering)
+from scalablevectorsearch_tpu.index.ivf.params import (IVFBuildParameters,
+                                                       IVFSearchParameters)
+from scalablevectorsearch_tpu.lib import saveload
+from scalablevectorsearch_tpu.orchestrators.ivf import IVF
+from scalablevectorsearch_tpu.quantization.lvq import LVQDataset
+
+
+@pytest.fixture(scope="module")
+def clustered():
+    from scalablevectorsearch_tpu.core.io import generate_test_dataset
+    return generate_test_dataset(4000, 200, 32, seed=21)
+
+
+class TestKMeans:
+    def test_minibatch_recovers_clusters(self, rng):
+        centers = rng.normal(scale=50, size=(8, 16)).astype(np.float32)
+        x = np.concatenate([c + rng.normal(size=(100, 16)).astype(np.float32)
+                            for c in centers])
+        cents = kmeans_training(x, 8, minibatch_size=200, num_iterations=8,
+                                seed=0)
+        assign = assign_full(x, cents)
+        # each true cluster maps to exactly one learned centroid
+        for i in range(8):
+            assert len(np.unique(assign[i * 100:(i + 1) * 100])) == 1
+        assert len(np.unique(assign)) == 8
+
+    def test_hierarchical_counts(self, clustered):
+        data, _ = clustered
+        cents = hierarchical_kmeans(data, 50, minibatch_size=1000,
+                                    num_iterations=4, seed=1)
+        assert cents.shape == (50, data.shape[1])
+        assign = assign_full(data, cents)
+        sizes = np.bincount(assign, minlength=50)
+        assert (sizes > 0).sum() >= 40  # few empty clusters
+
+    def test_no_empty_clusters_after_split(self, rng):
+        x = rng.normal(size=(500, 8)).astype(np.float32)
+        cents = kmeans_training(x, 32, minibatch_size=100, num_iterations=6,
+                                seed=3)
+        sizes = np.bincount(assign_full(x, cents), minlength=32)
+        assert (sizes == 0).sum() <= 2
+
+
+class TestClustering:
+    def test_build_and_save(self, tmp_path, clustered):
+        data, _ = clustered
+        params = IVFBuildParameters(num_centroids=64, num_iterations=4,
+                                    training_fraction=0.5)
+        c = Clustering.build(params, data)
+        assert c.num_centroids == 64
+        assert c.assignments.shape == (4000,)
+        saveload.save_to_disk(c, str(tmp_path / "clust"))
+        c2 = saveload.load_from_disk(Clustering, str(tmp_path / "clust"))
+        np.testing.assert_array_equal(c.assignments, c2.assignments)
+
+
+class TestIVFIndex:
+    @pytest.fixture(scope="class")
+    def built(self, clustered):
+        data, queries = clustered
+        params = IVFBuildParameters(num_centroids=64, num_iterations=6,
+                                    training_fraction=0.5,
+                                    is_hierarchical=False)
+        index = IVFIndex.build(params, data, "l2")
+        gt = svt.exhaustive_search(data, queries, 10)
+        return index, data, queries, gt
+
+    def test_recall_improves_with_probes(self, built):
+        index, data, queries, gt = built
+        prev = 0.0
+        for probes, floor in [(2, 0.35), (8, 0.75), (32, 0.97)]:
+            res = index.search(queries, 10,
+                               IVFSearchParameters(n_probes=probes))
+            rec = svt.k_recall_at_n(gt, res)
+            assert rec >= floor, f"probes={probes} recall={rec}"
+            assert rec >= prev - 0.02
+            prev = rec
+
+    def test_full_probe_is_exhaustive(self, built):
+        index, data, queries, gt = built
+        res = index.search(queries, 10,
+                           IVFSearchParameters(n_probes=64))
+        assert svt.k_recall_at_n(gt, res) >= 0.999
+
+    def test_save_load_roundtrip(self, tmp_path, built):
+        index, data, queries, gt = built
+        index.save(str(tmp_path / "ivf"))
+        loaded = IVFIndex.assemble_from_file(str(tmp_path / "ivf"))
+        a = index.search(queries[:20], 5)
+        b = loaded.search(queries[:20], 5)
+        np.testing.assert_array_equal(a.ids, b.ids)
+
+    def test_mip_distance(self, clustered):
+        data, queries = clustered
+        params = IVFBuildParameters(num_centroids=32, num_iterations=4,
+                                    training_fraction=0.5,
+                                    is_hierarchical=False)
+        index = IVFIndex.build(params, data, "mip")
+        gt = svt.exhaustive_search(data, queries, 10, distance="mip")
+        res = index.search(queries, 10, IVFSearchParameters(n_probes=16))
+        assert svt.k_recall_at_n(gt, res) >= 0.8
+
+    def test_compressed_postings_with_rerank(self, clustered):
+        data, queries = clustered
+        params = IVFBuildParameters(num_centroids=32, num_iterations=4,
+                                    training_fraction=0.5,
+                                    is_hierarchical=False)
+        clustering = Clustering.build(params, data)
+        index = IVFIndex.assemble_from_clustering(
+            clustering, data, "l2", dataset_cls=LVQDataset, rerank=True)
+        gt = svt.exhaustive_search(data, queries, 10)
+        res = index.search(queries, 10, IVFSearchParameters(
+            n_probes=16, k_reorder=3))
+        assert svt.k_recall_at_n(gt, res) >= 0.9
+
+
+class TestIVFOrchestrator:
+    def test_surface(self, tmp_path, clustered):
+        data, queries = clustered
+        params = IVFBuildParameters(num_centroids=32, num_iterations=3,
+                                    training_fraction=0.5)
+        ivf = IVF.build(params, data, "l2")
+        assert ivf.size == 4000 and ivf.num_centroids == 32
+        ivf.n_probes = 8
+        res = ivf.search(queries[:10], 5)
+        assert res.ids.shape == (10, 5)
+        ivf.save(str(tmp_path / "ivf"))
+        ivf2 = IVF.assemble_from_file(str(tmp_path / "ivf"))
+        res2 = ivf2.search(queries[:10], 5)
+        ivf2.n_probes = 8
+        res2 = ivf2.search(queries[:10], 5)
+        np.testing.assert_array_equal(res.ids, res2.ids)

