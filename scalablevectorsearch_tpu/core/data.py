@@ -125,6 +125,21 @@ class VectorDataset:
         n = new_n if new_n is not None else self.n
         return dataclasses.replace(self, vectors=vectors, norms_sq=norms, n=n)
 
+    def scatter_rows(self, slots: jax.Array, rows: jax.Array,
+                     new_n: Optional[int] = None) -> "VectorDataset":
+        """Functionally write ``rows`` at arbitrary ``slots`` (dynamic-index
+        add path; invalid slots < 0 are dropped)."""
+        rows = rows.astype(self.dtype)
+        if rows.shape[1] != self.padded_dim:
+            rows = jnp.pad(rows, ((0, 0), (0, self.padded_dim
+                                           - rows.shape[1])))
+        ok = jnp.where(slots >= 0, slots, self.capacity)
+        vectors = self.vectors.at[ok].set(rows, mode="drop")
+        nrm = jnp.sum(rows.astype(jnp.float32) ** 2, axis=-1)
+        norms = self.norms_sq.at[ok].set(nrm, mode="drop")
+        return dataclasses.replace(self, vectors=vectors, norms_sq=norms,
+                                   n=new_n if new_n is not None else self.n)
+
     def with_capacity(self, capacity: int) -> "VectorDataset":
         """Grow (pad) the backing arrays to at least ``capacity`` rows."""
         cap = dt.padded_count(capacity, self.dtype)

@@ -1,0 +1,299 @@
+"""Two-level inverted index: Vamana over a centroid subset + posting lists.
+
+TPU-native analog of the reference's ``InvertedIndex``
+(``include/svs/index/inverted/memory_based.h:334``) and its clustering
+pipeline (``inverted/clustering.h``):
+
+* pick ``percent_centroids`` (default 10%, clustering.h:49-52) random *real*
+  dataset points as centroids;
+* build a Vamana graph over the centroid subset (the "primary" index);
+* assign every remaining point to its nearest centroid — here via one
+  batched centroid matmul + argmin (the reference uses graph search with
+  epsilon-expansion; at 10% centroid density the exact assignment is a
+  single MXU pass and strictly better);
+* search: greedy search over the primary graph with the build window, take
+  the centroids within ``(1 + refinement_epsilon)`` of the best as probes
+  (memory_based.h cutoff heuristic), scan their padded posting lists
+  (shared kernel with IVF), merge.
+
+Centroid points are members of their own posting lists, so the scan alone
+produces complete results.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.data import VectorDataset
+from ...core.graph import NeighborGraph
+from ...core.query_result import QueryResult
+from ...lib import datatypes as dt
+from ...lib import saveload
+from ...ops import distance as dist_ops
+from ...ops import topk as topk_ops
+from ..ivf.index import scan_padded_clusters
+from ..vamana import build as vamana_build
+from ..vamana import search as vamana_search
+from ..vamana.params import VamanaBuildParameters
+
+CONFIG_FILENAME = "inverted_config.json"
+
+
+@dataclasses.dataclass
+class InvertedBuildParameters:
+    """(reference inverted/memory_build_params.h)"""
+
+    percent_centroids: float = 0.10
+    primary_parameters: VamanaBuildParameters = dataclasses.field(
+        default_factory=VamanaBuildParameters)
+    seed: int = 0xFEED
+
+    SCHEMA = "inverted_build_parameters"
+    VERSION = saveload.Version(0, 0, 1)
+
+    def save_table(self) -> dict:
+        return saveload.save_table(self.SCHEMA, self.VERSION, {
+            "percent_centroids": self.percent_centroids,
+            "seed": self.seed,
+            "primary_parameters": self.primary_parameters.save_table(),
+        })
+
+    @classmethod
+    def from_table(cls, table: dict) -> "InvertedBuildParameters":
+        saveload.check_table(table, cls.SCHEMA, cls.VERSION)
+        return cls(percent_centroids=table["percent_centroids"],
+                   seed=table.get("seed", 0xFEED),
+                   primary_parameters=VamanaBuildParameters.from_table(
+                       table["primary_parameters"]))
+
+
+@dataclasses.dataclass(frozen=True)
+class InvertedSearchParameters:
+    """(reference inverted/memory_search_params.h): primary window +
+    refinement epsilon (cluster cutoff) + a probe cap for static shapes."""
+
+    primary_window_size: int = 32
+    refinement_epsilon: float = 1.0
+    max_probes: int = 16
+
+    SCHEMA = "inverted_search_parameters"
+    VERSION = saveload.Version(0, 0, 1)
+
+    def save_table(self) -> dict:
+        return saveload.save_table(self.SCHEMA, self.VERSION, {
+            "primary_window_size": self.primary_window_size,
+            "refinement_epsilon": self.refinement_epsilon,
+            "max_probes": self.max_probes,
+        })
+
+    @classmethod
+    def from_table(cls, table: dict) -> "InvertedSearchParameters":
+        saveload.check_table(table, cls.SCHEMA, cls.VERSION)
+        return cls(primary_window_size=table["primary_window_size"],
+                   refinement_epsilon=table["refinement_epsilon"],
+                   max_probes=table["max_probes"])
+
+
+@partial(jax.jit, static_argnames=(
+    "window", "max_iters", "max_probes", "keep", "slot", "sub", "distance"))
+def inverted_search_kernel(graph: NeighborGraph, centroid_data: VectorDataset,
+                           centroid_ids: jax.Array, data, ids_padded,
+                           queries: jax.Array, entry_ids: jax.Array,
+                           epsilon: jax.Array, *, window: int, max_iters: int,
+                           max_probes: int, keep: int, slot: int, sub: int,
+                           distance: dist_ops.DistanceType):
+    """Primary graph search -> epsilon cutoff -> posting scan."""
+    distance = dist_ops.as_distance(distance)
+    q_norms = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)
+    out = vamana_search.greedy_search(
+        graph, centroid_data, queries, entry_ids, window=window,
+        capacity=window, max_iters=max_iters, distance=distance)
+    probes = out.ids[:, :max_probes]                       # centroid indices
+    probe_keys = out.keys[:, :max_probes]
+
+    # epsilon cutoff (memory_based.h cluster selection): keep probes whose
+    # key is within (1 + eps) * best (L2 keys are squared distances; the
+    # multiplicative rule applies in key space for every metric since keys
+    # are smaller-is-better)
+    best = probe_keys[:, :1]
+    limit = jnp.where(best >= 0, best * (1.0 + epsilon),
+                      best / (1.0 + epsilon))
+    probe_valid = (probes >= 0) & (probe_keys <= limit)
+
+    return scan_padded_clusters(data, ids_padded, queries, q_norms, probes,
+                                probe_valid, keep=keep, slot=slot, sub=sub,
+                                distance=distance)
+
+
+class InvertedIndex:
+    SCHEMA = "inverted_index_parameters"
+    VERSION = saveload.Version(0, 0, 1)
+
+    def __init__(self, graph, centroid_data, centroid_ids, data, ids_padded,
+                 slot: int, n: int, entry_point: int, distance,
+                 search_parameters: Optional[InvertedSearchParameters] = None,
+                 build_parameters: Optional[InvertedBuildParameters] = None,
+                 query_batch_size: int = 512, scan_subtile: int = 256,
+                 logger=None):
+        self.graph = graph                    # primary graph over centroids
+        self.centroid_data = centroid_data    # centroid vectors (subset)
+        self.centroid_ids = jnp.asarray(centroid_ids, dtype=jnp.int32)
+        self.data = data                      # reordered padded full dataset
+        self.ids_padded = jnp.asarray(ids_padded, dtype=jnp.int32)
+        self.slot = slot
+        self.n = n
+        self.entry_point = int(entry_point)
+        self.distance = dist_ops.as_distance(distance)
+        self.search_parameters = (search_parameters
+                                  or InvertedSearchParameters())
+        self.build_parameters = build_parameters
+        self.query_batch_size = query_batch_size
+        self.scan_subtile = scan_subtile
+
+    # -- build ------------------------------------------------------------------
+    @classmethod
+    def build(cls, parameters: InvertedBuildParameters, data, distance,
+              **kwargs) -> "InvertedIndex":
+        """auto_build pipeline (memory_based.h:557-612)."""
+        x = data.to_numpy() if hasattr(data, "to_numpy") else \
+            np.asarray(data, dtype=np.float32)
+        n = x.shape[0]
+        distance = dist_ops.as_distance(distance)
+        rng = np.random.default_rng(parameters.seed)
+        k = max(int(n * parameters.percent_centroids), 1)
+        centroid_ids = np.sort(rng.choice(n, size=k, replace=False))
+
+        centroid_data = VectorDataset.from_array(x[centroid_ids])
+        pparams = parameters.primary_parameters.resolved(distance)
+        graph, entry = vamana_build.build_graph(centroid_data, pparams,
+                                                distance, pop_width=1)
+
+        # nearest-centroid assignment: one MXU pass per batch
+        from ..ivf.kmeans import assign_full
+        assign = assign_full(x, x[centroid_ids])
+
+        sizes = np.bincount(assign, minlength=k)
+        slot = int(dt.pad_to(max(int(sizes.max()), 1), 8))
+        order = np.argsort(assign, kind="stable")
+        total = k * slot
+        ids_padded = np.full(total, -1, dtype=np.int32)
+        rows = np.zeros((total, x.shape[1]), dtype=x.dtype)
+        starts = np.zeros(k + 1, dtype=np.int64)
+        np.cumsum(sizes, out=starts[1:])
+        for c in range(k):
+            seg = order[starts[c]: starts[c + 1]]
+            ids_padded[c * slot: c * slot + seg.size] = seg
+            rows[c * slot: c * slot + seg.size] = x[seg]
+        reordered = VectorDataset.from_array(rows)
+        mask = jnp.asarray(ids_padded >= 0)
+        reordered = dataclasses.replace(
+            reordered, norms_sq=jnp.where(mask, reordered.norms_sq, jnp.inf))
+        return cls(graph, centroid_data, centroid_ids, reordered, ids_padded,
+                   slot, n, entry, distance, build_parameters=parameters,
+                   **kwargs)
+
+    @property
+    def size(self) -> int:
+        return self.n
+
+    @property
+    def dimensions(self) -> int:
+        return self.data.dim
+
+    @property
+    def num_centroids(self) -> int:
+        return self.centroid_ids.shape[0]
+
+    # -- search ------------------------------------------------------------------
+    def search(self, queries, k: int,
+               parameters: Optional[InvertedSearchParameters] = None
+               ) -> QueryResult:
+        params = parameters or self.search_parameters
+        window = max(params.primary_window_size, params.max_probes)
+        max_probes = min(params.max_probes, self.num_centroids)
+        sub = min(self.scan_subtile, self.slot)
+        while self.slot % sub != 0:
+            sub //= 2
+
+        queries = np.asarray(queries)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        nq, dim = queries.shape
+        if dim != self.data.dim:
+            raise ValueError(f"query dim {dim} != dataset dim {self.data.dim}")
+        qb = self.query_batch_size
+        entry_ids = jnp.asarray([self.entry_point], dtype=jnp.int32)
+        eps = jnp.float32(params.refinement_epsilon)
+        out_ids = np.empty((nq, k), dtype=np.int64)
+        out_vals = np.empty((nq, k), dtype=np.float32)
+        for start in range(0, nq, qb):
+            stop = min(start + qb, nq)
+            batch = dt.pad_matrix(queries[start:stop].astype(np.float32),
+                                  n_pad=min(qb, dt.pad_to(stop - start, 8)),
+                                  d_pad=self.data.padded_dim)
+            keys, ids = inverted_search_kernel(
+                self.graph, self.centroid_data, self.centroid_ids,
+                self.data, self.ids_padded, jnp.asarray(batch), entry_ids,
+                eps, window=window,
+                max_iters=vamana_search.default_max_iters(window),
+                max_probes=max_probes, keep=k, slot=self.slot, sub=sub,
+                distance=self.distance)
+            out_ids[start:stop] = np.asarray(ids[: stop - start])
+            out_vals[start:stop] = np.asarray(dist_ops.value_from_key(
+                self.distance, keys))[: stop - start]
+        return QueryResult(ids=out_ids, distances=out_vals)
+
+    # -- persistence ----------------------------------------------------------------
+    def save(self, config_dir: str) -> None:
+        os.makedirs(config_dir, exist_ok=True)
+        saveload.save_to_disk(self.centroid_data,
+                              os.path.join(config_dir, "centroid_data"))
+        saveload.save_to_disk(self.graph,
+                              os.path.join(config_dir, "graph"))
+        saveload.save_to_disk(self.data, os.path.join(config_dir, "data"))
+        ctx = saveload.SaveContext(config_dir)
+        table = saveload.save_table(self.SCHEMA, self.VERSION, {
+            "distance": self.distance.value,
+            "slot": self.slot,
+            "num_points": self.n,
+            "entry_point": self.entry_point,
+            "centroid_ids": ctx.save_array(np.asarray(self.centroid_ids)),
+            "ids_padded": ctx.save_array(np.asarray(self.ids_padded)),
+            "search_parameters": self.search_parameters.save_table(),
+            "build_parameters": (self.build_parameters.save_table()
+                                 if self.build_parameters else None),
+        })
+        with open(os.path.join(config_dir, CONFIG_FILENAME), "w") as f:
+            json.dump(table, f, indent=2)
+
+    @classmethod
+    def assemble(cls, config_dir: str, **kwargs) -> "InvertedIndex":
+        with open(os.path.join(config_dir, CONFIG_FILENAME)) as f:
+            table = json.load(f)
+        saveload.check_table(table, cls.SCHEMA, cls.VERSION)
+        ctx = saveload.LoadContext(config_dir)
+        from ...core.loading import dispatch_load
+        centroid_data = dispatch_load(os.path.join(config_dir,
+                                                   "centroid_data"))
+        graph = saveload.load_from_disk(
+            NeighborGraph, os.path.join(config_dir, "graph"))
+        data = dispatch_load(os.path.join(config_dir, "data"))
+        ids_padded = ctx.load_array(table["ids_padded"])
+        mask = jnp.asarray(ids_padded >= 0)
+        data = dataclasses.replace(
+            data, norms_sq=jnp.where(mask, data.norms_sq, jnp.inf))
+        sp = InvertedSearchParameters.from_table(table["search_parameters"])
+        bp = (InvertedBuildParameters.from_table(table["build_parameters"])
+              if table.get("build_parameters") else None)
+        return cls(graph, centroid_data, ctx.load_array(table["centroid_ids"]),
+                   data, ids_padded, table["slot"], table["num_points"],
+                   table["entry_point"], table["distance"],
+                   search_parameters=sp, build_parameters=bp, **kwargs)

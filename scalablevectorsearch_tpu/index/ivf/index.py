@@ -46,29 +46,18 @@ from .params import IVFBuildParameters, IVFSearchParameters
 CONFIG_FILENAME = "ivf_config.json"
 
 
-@partial(jax.jit, static_argnames=(
-    "n_probes", "keep", "slot", "sub", "distance"))
-def ivf_search_kernel(centroids: jax.Array, centroid_norms: jax.Array,
-                      data, ids_padded: jax.Array, queries: jax.Array,
-                      *, n_probes: int, keep: int, slot: int, sub: int,
-                      distance: dist_ops.DistanceType):
-    """Two-phase IVF search for a query batch.
+def scan_padded_clusters(data, ids_padded: jax.Array, queries: jax.Array,
+                         q_norms: jax.Array, probes: jax.Array,
+                         probe_valid: jax.Array, *, keep: int, slot: int,
+                         sub: int, distance: dist_ops.DistanceType):
+    """Posting-list scan over uniform padded clusters (search_leaves analog,
+    common.h:897-925): fori over (probe, sub-tile) steps, each row-gathering
+    one tile per query and folding into a running top-``keep``.
 
-    Returns (keys (B, keep), positions (B, keep)) where positions index the
-    *reordered* padded layout (map through ids_padded for original ids —
-    already applied here, returns original ids).
-    """
-    distance = dist_ops.as_distance(distance)
+    ``probes`` (B, P) cluster ids per query; ``probe_valid`` (B, P) masks
+    probes (the inverted index's epsilon cutoff uses this)."""
     b = queries.shape[0]
-    q_norms = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)
-
-    # phase 1: centroid distances + top-n_probes (search_centroids)
-    ckeys = dist_ops.pairwise_keys(distance, queries, centroids,
-                                   vector_norms_sq=centroid_norms,
-                                   query_norms_sq=q_norms)
-    _, probes = topk_ops.smallest_k(ckeys, None, n_probes)  # (B, P)
-
-    # phase 2: posting-list scan, sub-tiles of `sub` rows per step
+    n_probes = probes.shape[1]
     n_sub = slot // sub
     init = (jnp.full((b, keep), jnp.inf, jnp.float32),
             jnp.full((b, keep), -1, jnp.int32))
@@ -79,7 +68,9 @@ def ivf_search_kernel(centroids: jax.Array, centroid_norms: jax.Array,
         s = step % n_sub
         cluster = jnp.take_along_axis(probes, p[None, None].repeat(b, 0),
                                       axis=1)[:, 0]
-        base = cluster * slot + s * sub
+        ok = jnp.take_along_axis(probe_valid, p[None, None].repeat(b, 0),
+                                 axis=1)[:, 0] & (cluster >= 0)
+        base = jnp.maximum(cluster, 0) * slot + s * sub
         rows = base[:, None] + jnp.arange(sub, dtype=jnp.int32)[None, :]
         orig_ids = jnp.take(ids_padded, rows, mode="clip")       # (B, sub)
         vecs = data.get(rows)                                    # (B, sub, d)
@@ -87,13 +78,37 @@ def ivf_search_kernel(centroids: jax.Array, centroid_norms: jax.Array,
         keys = dist_ops.gathered_keys(distance, queries, vecs,
                                       gathered_norms_sq=norms,
                                       query_norms_sq=q_norms)
-        keys = jnp.where((orig_ids >= 0) & (cluster >= 0)[:, None],
-                         keys, jnp.inf)
+        keys = jnp.where((orig_ids >= 0) & ok[:, None], keys, jnp.inf)
         return topk_ops.merge_smallest(best_keys, best_ids, keys,
                                        orig_ids, keep)
 
-    keys, ids = jax.lax.fori_loop(0, n_probes * n_sub, body, init)
-    return keys, ids
+    return jax.lax.fori_loop(0, n_probes * n_sub, body, init)
+
+
+@partial(jax.jit, static_argnames=(
+    "n_probes", "keep", "slot", "sub", "distance"))
+def ivf_search_kernel(centroids: jax.Array, centroid_norms: jax.Array,
+                      data, ids_padded: jax.Array, queries: jax.Array,
+                      *, n_probes: int, keep: int, slot: int, sub: int,
+                      distance: dist_ops.DistanceType):
+    """Two-phase IVF search for a query batch.
+
+    Returns (keys (B, keep), ids (B, keep)) in original-id space.
+    """
+    distance = dist_ops.as_distance(distance)
+    b = queries.shape[0]
+    q_norms = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)
+
+    # phase 1: centroid distances + top-n_probes (search_centroids)
+    ckeys = dist_ops.pairwise_keys(distance, queries, centroids,
+                                   vector_norms_sq=centroid_norms,
+                                   query_norms_sq=q_norms)
+    _, probes = topk_ops.smallest_k(ckeys, None, n_probes)  # (B, P)
+    probe_valid = probes >= 0
+
+    return scan_padded_clusters(data, ids_padded, queries, q_norms, probes,
+                                probe_valid, keep=keep, slot=slot, sub=sub,
+                                distance=distance)
 
 
 @partial(jax.jit, static_argnames=("k", "distance"))

@@ -1,0 +1,374 @@
+"""Mutable (dynamic) Vamana index: add / soft-delete / consolidate / compact.
+
+TPU-native analog of the reference's ``MutableVamanaIndex``
+(``include/svs/index/vamana/dynamic_index.h:111``):
+
+* slot lifecycle Empty / Valid / Deleted (``dynamic_index.h:67``) tracked on
+  the host plus a device ``deleted`` mask consulted at result extraction
+  (the analog of the predicated search buffer, ``dynamic_search_buffer.h`` —
+  deleted nodes remain traversable until consolidation but never surface in
+  results);
+* external<->internal id translation at the API boundary
+  (``IDTranslator``, ``dynamic_index.h:423-443``);
+* ``add_points`` = slot reuse/growth -> scatter rows -> clear adjacency ->
+  incremental build rounds over the new slots only
+  (``dynamic_index.h:630-723``);
+* ``delete_entries`` = soft delete (``dynamic_index.h:747-760``);
+* ``consolidate`` = batched re-pruning of vertices adjacent to deleted nodes
+  over {alive neighbors} ∪ {alive neighbors of deleted neighbors}
+  (``consolidate.h:139-310``, two-phase read-then-commit — exactly the
+  batched formulation used here);
+* ``compact`` = dense remap of slots (``dynamic_index.h:791-884``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.data import VectorDataset
+from ...core.graph import NeighborGraph
+from ...core.query_result import QueryResult
+from ...core.translation import IDTranslator
+from ...lib import datatypes as dt
+from ...lib import logging as svs_logging
+from ...ops import distance as dist_ops
+from ...ops import topk as topk_ops
+from . import build as build_mod
+from . import search as search_mod
+from .params import VamanaBuildParameters, VamanaSearchParameters
+
+SLOT_EMPTY, SLOT_VALID, SLOT_DELETED = 0, 1, 2
+
+
+@partial(jax.jit, static_argnames=("prune_to", "alpha", "distance",
+                                   "max_degree", "prune_chunk", "pool_cap"))
+def consolidate_round(graph: NeighborGraph, data: VectorDataset,
+                      node_ids: jax.Array, node_valid: jax.Array,
+                      deleted_mask: jax.Array, *, prune_to: int,
+                      alpha: float, distance, max_degree: int,
+                      prune_chunk: int, pool_cap: int) -> NeighborGraph:
+    """Re-prune one batch of vertices that touch deleted nodes
+    (consolidate.h:139-310): candidates = alive neighbors ∪ alive neighbors
+    of deleted neighbors, top-``pool_cap`` by distance, RobustPrune with the
+    index alpha (consolidate.h:275-278 uses params.alpha)."""
+    r = graph.max_degree
+    adj = graph.neighbors(jnp.maximum(node_ids, 0))            # (B, R)
+    adj_deleted = jnp.take(deleted_mask, jnp.maximum(adj, 0),
+                           mode="clip") & (adj >= 0)
+    # second hop, only through deleted neighbors
+    hop2 = graph.neighbors(jnp.maximum(adj, 0).reshape(-1)).reshape(
+        adj.shape[0], r * r)
+    hop2 = jnp.where(jnp.repeat(adj_deleted, r, axis=1), hop2, -1)
+    cand = jnp.concatenate([jnp.where(adj_deleted, -1, adj), hop2], axis=1)
+    cand_deleted = jnp.take(deleted_mask, jnp.maximum(cand, 0), mode="clip")
+    cand = jnp.where(cand_deleted | (cand < 0), -1, cand)
+
+    queries = data.get(node_ids)
+    q_norms = jnp.take(data.norms_sq, node_ids, mode="clip")
+    keys = build_mod._score_against(data, distance, queries, q_norms, cand)
+    keys = topk_ops.mask_first_duplicates(keys, cand)
+    keys = jnp.where(node_valid[:, None], keys, jnp.inf)
+    keys, cand = topk_ops.smallest_k(keys, cand, pool_cap)
+
+    rows, degs = build_mod._prune_pools(
+        data, cand, keys, node_ids, alpha, prune_to, distance, prune_chunk)
+    pad_cols = max_degree - rows.shape[1]
+    if pad_cols > 0:
+        rows = jnp.pad(rows, ((0, 0), (0, pad_cols)), constant_values=-1)
+    commit = jnp.where(node_valid, node_ids, graph.capacity)
+    return graph.replace_rows(commit, rows, degs)
+
+
+class MutableVamanaIndex:
+    """Dynamic Vamana index over blocked device storage."""
+
+    def __init__(self, parameters: VamanaBuildParameters, data, external_ids,
+                 distance, *, capacity: Optional[int] = None,
+                 query_batch_size: int = 512, pop_width: int = 4,
+                 logger=None):
+        x = np.asarray(data, dtype=np.float32)
+        n, dim = x.shape
+        self.distance = dist_ops.as_distance(distance)
+        self.parameters = parameters.resolved(self.distance)
+        self.logger = svs_logging.as_logger(logger)
+        self.query_batch_size = query_batch_size
+        self.pop_width = pop_width
+
+        cap = dt.padded_count(capacity if capacity is not None
+                              else max(2 * n, 64), np.float32)
+        self.data = VectorDataset.from_array(x, capacity=cap)
+        # n tracks the high-water slot; storage rows past it are untouched
+        self.status = np.full(cap, SLOT_EMPTY, dtype=np.int8)
+        self.status[:n] = SLOT_VALID
+        self.deleted_mask = jnp.zeros((cap,), dtype=bool)
+        self.translator = IDTranslator(cap)
+        self.translator.insert(np.asarray(external_ids, dtype=np.int64),
+                               np.arange(n, dtype=np.int64))
+        self._search_parameters = VamanaSearchParameters()
+
+        # initial construction: the full two-pass static builder, then pad
+        # the graph out to the blocked capacity
+        graph, entry = build_mod.build_graph(
+            self.data, self.parameters, self.distance, logger=self.logger,
+            pop_width=1)
+        self.graph = graph.with_capacity(cap)
+        self.entry_point = entry
+
+    # -- internals ------------------------------------------------------------
+    @property
+    def _high_water(self) -> int:
+        return self.data.n
+
+    def _build_over(self, slots: np.ndarray,
+                    batch_size: Optional[int] = None) -> None:
+        """Incremental construction over specific slots (the add_points tail
+        of dynamic_index.h:630-723 — same fused rounds as the static build)."""
+        p = self.parameters
+        n_slots = slots.size
+        if n_slots == 0:
+            return
+        b = batch_size or build_mod.default_batch_size(max(n_slots, 1))
+        b = min(b, dt.pad_to(n_slots, 8))
+        entry_ids = jnp.asarray([self.entry_point], dtype=jnp.int32)
+        window = p.window_size
+        max_iters = search_mod.default_max_iters(window)
+        for start in range(0, n_slots, b):
+            chunk = slots[start: start + b]
+            ids = np.full(b, chunk[0], dtype=np.int32)
+            ids[: chunk.size] = chunk
+            valid = np.zeros(b, dtype=bool)
+            valid[: chunk.size] = True
+            self.graph, _ = build_mod.build_round(
+                self.graph, self.data, jnp.asarray(ids), jnp.asarray(valid),
+                entry_ids, window=window, capacity=window,
+                max_iters=max_iters, distance=self.distance,
+                pool_size=p.max_candidate_pool_size,
+                gen_alpha=float(p.alpha), rev_alpha=float(p.alpha),
+                prune_to=p.prune_to,
+                max_degree=p.graph_max_degree, prune_chunk=128,
+                pop_width=1)
+
+    # -- properties -------------------------------------------------------------
+    @property
+    def size(self) -> int:
+        return int((self.status == SLOT_VALID).sum())
+
+    @property
+    def dimensions(self) -> int:
+        return self.data.dim
+
+    @property
+    def search_parameters(self) -> VamanaSearchParameters:
+        return self._search_parameters
+
+    @search_parameters.setter
+    def search_parameters(self, params) -> None:
+        self._search_parameters = params
+
+    @property
+    def search_window_size(self) -> int:
+        return self._search_parameters.buffer_config.search_window_size
+
+    @search_window_size.setter
+    def search_window_size(self, w: int) -> None:
+        self._search_parameters = self._search_parameters.with_window(w)
+
+    def all_ids(self) -> np.ndarray:
+        """External ids currently in the index (reference all_ids)."""
+        return np.sort(self.translator.all_external_ids())
+
+    def has_id(self, external_id: int) -> bool:
+        return external_id in self.translator
+
+    # -- search -----------------------------------------------------------------
+    def search(self, queries, k: int,
+               parameters: Optional[VamanaSearchParameters] = None
+               ) -> QueryResult:
+        params = parameters or self._search_parameters
+        cfg = params.buffer_config
+        # deleted entries occupy beam slots until consolidation; widen the
+        # retained capacity so k live results survive extraction
+        window = max(cfg.search_window_size, k)
+        capacity = max(cfg.search_buffer_capacity, window, 2 * k)
+        max_iters = params.resolved_max_iters()
+
+        queries = np.asarray(queries)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        nq, dim = queries.shape
+        if dim != self.data.dim:
+            raise ValueError(f"query dim {dim} != dataset dim {self.data.dim}")
+        qb = self.query_batch_size
+        entry_ids = jnp.asarray([self.entry_point], dtype=jnp.int32)
+        out_ids = np.empty((nq, k), dtype=np.int64)
+        out_vals = np.empty((nq, k), dtype=np.float32)
+        for start in range(0, nq, qb):
+            stop = min(start + qb, nq)
+            batch = dt.pad_matrix(queries[start:stop].astype(np.float32),
+                                  n_pad=min(qb, dt.pad_to(stop - start, 8)),
+                                  d_pad=self.data.padded_dim)
+            out = search_mod.greedy_search(
+                self.graph, self.data, jnp.asarray(batch), entry_ids,
+                window=window, capacity=capacity, max_iters=max_iters,
+                distance=self.distance, pop_width=self.pop_width)
+            keys, ids = _drop_deleted(out.keys, out.ids, self.deleted_mask, k)
+            slots = np.asarray(ids[: stop - start])
+            out_ids[start:stop] = np.where(
+                slots >= 0, self.translator.to_external(slots), -1)
+            out_vals[start:stop] = np.asarray(dist_ops.value_from_key(
+                self.distance, keys))[: stop - start]
+        return QueryResult(ids=out_ids, distances=out_vals)
+
+    # -- mutation ------------------------------------------------------------------
+    def add_points(self, points, external_ids) -> np.ndarray:
+        """Insert vectors under new external ids; returns assigned slots."""
+        points = np.asarray(points, dtype=np.float32)
+        external_ids = np.asarray(external_ids, dtype=np.int64)
+        if points.shape[0] != external_ids.size:
+            raise ValueError("points / external_ids length mismatch")
+        m = points.shape[0]
+
+        empty = np.nonzero(self.status == SLOT_EMPTY)[0]
+        empty = empty[empty < self._high_water]          # reuse first
+        reuse = empty[:m]
+        n_new = m - reuse.size
+        high = self._high_water
+        slots = np.concatenate([
+            reuse, np.arange(high, high + n_new)]).astype(np.int64)
+
+        if high + n_new > self.data.capacity:
+            new_cap = dt.padded_count(
+                max(2 * self.data.capacity, high + n_new), np.float32)
+            self.data = self.data.with_capacity(new_cap)
+            self.graph = self.graph.with_capacity(new_cap)
+            self.deleted_mask = jnp.pad(
+                self.deleted_mask, (0, new_cap - self.status.size))
+            self.status = np.pad(self.status,
+                                 (0, new_cap - self.status.size))
+            grow = self.translator  # dict-based; grows automatically
+
+        self.translator.insert(external_ids, slots)
+        rows = jnp.asarray(dt.pad_matrix(
+            points, n_pad=points.shape[0], d_pad=self.data.padded_dim))
+        self.data = self.data.scatter_rows(
+            jnp.asarray(slots), rows, new_n=max(high, high + n_new))
+        self.graph = self.graph.clear_rows(jnp.asarray(slots))
+        self.graph = dataclassreplace_n(self.graph, self.data.n)
+        self.status[slots] = SLOT_VALID
+        self.deleted_mask = self.deleted_mask.at[jnp.asarray(slots)].set(False)
+        self._build_over(slots)
+        return slots
+
+    def delete_points(self, external_ids) -> None:
+        """Soft delete (dynamic_index.h:747-760): entries stop surfacing in
+        results immediately; graph cleanup is deferred to consolidate()."""
+        slots = self.translator.remove(external_ids)
+        self.status[slots] = SLOT_DELETED
+        self.deleted_mask = self.deleted_mask.at[jnp.asarray(slots)].set(True)
+        if self.status[self.entry_point] != SLOT_VALID:
+            self._reset_entry_point()
+
+    def consolidate(self, batch_size: int = 1024) -> None:
+        """Remove deleted vertices from all adjacency lists by re-pruning
+        affected vertices, then release the slots (consolidate.h:139-310)."""
+        deleted = np.nonzero(self.status == SLOT_DELETED)[0]
+        if deleted.size == 0:
+            return
+        # affected = valid vertices with >= 1 deleted neighbor (host scan of
+        # the adjacency — one device->host pull of int32 (n, R))
+        adj = np.asarray(self.graph.adjacency[: self._high_water])
+        is_del = np.zeros(self.data.capacity + 1, dtype=bool)
+        is_del[deleted] = True
+        affected = np.nonzero(
+            is_del[np.maximum(adj, 0)].any(axis=1)
+            & (self.status[: self._high_water] == SLOT_VALID))[0]
+
+        r = self.graph.max_degree
+        pool_cap = min(r * (r + 1), 4 * r)   # top candidates kept for prune
+        for start in range(0, affected.size, batch_size):
+            chunk = affected[start: start + batch_size]
+            ids = np.full(batch_size, 0, dtype=np.int32)
+            ids[: chunk.size] = chunk
+            valid = np.zeros(batch_size, dtype=bool)
+            valid[: chunk.size] = True
+            self.graph = consolidate_round(
+                self.graph, self.data, jnp.asarray(ids), jnp.asarray(valid),
+                self.deleted_mask, prune_to=self.parameters.prune_to,
+                alpha=float(self.parameters.alpha),
+                distance=self.distance, max_degree=r, prune_chunk=128,
+                pool_cap=pool_cap)
+        # clear + free the deleted slots
+        self.graph = self.graph.clear_rows(jnp.asarray(deleted))
+        self.status[deleted] = SLOT_EMPTY
+        self.deleted_mask = self.deleted_mask.at[jnp.asarray(deleted)].set(
+            False)
+
+    def compact(self) -> None:
+        """Dense remap: drop empty slots, shrink high-water
+        (dynamic_index.h:791-884 batched gather-remap formulation)."""
+        high = self._high_water
+        alive = np.nonzero(self.status[:high] != SLOT_EMPTY)[0]
+        if alive.size == high:
+            return
+        old_to_new = np.full(self.data.capacity + 1, -1, dtype=np.int64)
+        old_to_new[alive] = np.arange(alive.size)
+
+        adj = np.asarray(self.graph.adjacency[:high])[alive]
+        remapped = np.where(adj >= 0, old_to_new[np.maximum(adj, 0)], -1)
+        # edges to dropped slots vanish; repack left
+        order = np.argsort(remapped < 0, axis=1, kind="stable")
+        remapped = np.take_along_axis(remapped, order, axis=1)
+        degrees = (remapped >= 0).sum(axis=1).astype(np.int32)
+
+        vectors = np.asarray(self.data.vectors)[alive]
+        new_n = alive.size
+        self.data = VectorDataset.from_array(
+            vectors[:, : self.data.dim],
+            capacity=self.data.capacity)  # keep capacity
+        self.graph = NeighborGraph.empty(new_n, self.graph.max_degree,
+                                         capacity=self.graph.capacity)
+        self.graph = self.graph.replace_rows(
+            jnp.arange(new_n), jnp.asarray(remapped, dtype=jnp.int32),
+            jnp.asarray(degrees))
+        new_status = np.full(self.status.size, SLOT_EMPTY, dtype=np.int8)
+        new_status[:new_n] = self.status[:high][alive]
+        self.status = new_status
+        self.deleted_mask = jnp.asarray(
+            new_status == SLOT_DELETED)
+        self.translator.remap({int(o): int(old_to_new[o]) for o in alive})
+        self._reset_entry_point()
+
+    def _reset_entry_point(self) -> None:
+        alive = np.nonzero(self.status == SLOT_VALID)[0]
+        if alive.size == 0:
+            self.entry_point = 0
+            return
+        # medioid over alive rows only: poison others' norms
+        import dataclasses as dc
+        mask = jnp.zeros((self.data.capacity,), bool).at[
+            jnp.asarray(alive)].set(True)
+        masked = dc.replace(self.data, norms_sq=jnp.where(
+            mask, self.data.norms_sq, jnp.inf))
+        from ...core.medioid import compute_medioid
+        self.entry_point = compute_medioid(masked)
+        if self.status[self.entry_point] != SLOT_VALID:
+            self.entry_point = int(alive[0])
+
+
+def dataclassreplace_n(graph: NeighborGraph, n: int) -> NeighborGraph:
+    import dataclasses as dc
+    return dc.replace(graph, n=n)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _drop_deleted(keys: jax.Array, ids: jax.Array, deleted_mask: jax.Array,
+                  k: int):
+    """Poison deleted slots in the result beam, re-select top-k."""
+    is_del = jnp.take(deleted_mask, jnp.maximum(ids, 0), mode="clip")
+    keys = jnp.where(is_del | (ids < 0), jnp.inf, keys)
+    return topk_ops.smallest_k(keys, ids, k)

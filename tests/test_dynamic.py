@@ -1,0 +1,133 @@
+"""Dynamic index tests: add/delete/consolidate/compact cycles with the
+ReferenceDataset mutation harness (mirrors the reference's
+dynamic_index_2.cpp + utils/characterization/mutable.cpp strategy)."""
+
+import numpy as np
+import pytest
+
+import scalablevectorsearch_tpu as svt
+from scalablevectorsearch_tpu.index.dynamic_flat import DynamicFlatIndex
+from scalablevectorsearch_tpu.index.vamana.dynamic import MutableVamanaIndex
+from scalablevectorsearch_tpu.index.vamana.params import VamanaBuildParameters
+from scalablevectorsearch_tpu.orchestrators.dynamic_vamana import (
+    DynamicFlat, DynamicVamana)
+from scalablevectorsearch_tpu.utils.dynamic_helper import ReferenceDataset
+
+
+@pytest.fixture(scope="module")
+def pool():
+    from scalablevectorsearch_tpu.core.io import generate_test_dataset
+    data, queries = generate_test_dataset(3000, 64, 32, seed=31)
+    return data, queries
+
+
+class TestDynamicFlat:
+    def test_mutation_cycles_exact(self, pool):
+        data, queries = pool
+        ref = ReferenceDataset(data, seed=1)
+        pts, ids = ref.new_batch(800)
+        index = DynamicFlatIndex(pts, ids, "l2", data_batch_size=512)
+        assert index.size == 800
+        ref.check_recall(index, queries, 10, floor=0.999)  # flat is exact
+
+        for step in range(3):
+            pts, ids = ref.new_batch(300)
+            index.add_points(pts, ids)
+            dead = ref.delete_batch(150)
+            index.delete_points(dead)
+            ref.check_recall(index, queries, 10, floor=0.999)
+        assert index.size == len(ref.live)
+        np.testing.assert_array_equal(
+            index.all_ids(), np.sort(np.fromiter(ref.live, dtype=np.int64)))
+
+    def test_compact_preserves_results(self, pool):
+        data, queries = pool
+        ref = ReferenceDataset(data, seed=2)
+        pts, ids = ref.new_batch(500)
+        index = DynamicFlatIndex(pts, ids, "l2", data_batch_size=512)
+        index.delete_points(ref.delete_batch(200))
+        before = index.search(queries[:16], 5)
+        index.compact()
+        after = index.search(queries[:16], 5)
+        np.testing.assert_array_equal(before.ids, after.ids)
+        assert index.size == 300
+
+    def test_duplicate_external_id_raises(self, pool):
+        data, _ = pool
+        index = DynamicFlatIndex(data[:10], np.arange(10), "l2")
+        with pytest.raises(ValueError):
+            index.add_points(data[10:12], [5, 100])
+
+
+class TestMutableVamana:
+    @pytest.fixture(scope="class")
+    def built(self, pool):
+        data, queries = pool
+        ref = ReferenceDataset(data, seed=3)
+        pts, ids = ref.new_batch(1200)
+        params = VamanaBuildParameters(graph_max_degree=24, window_size=48)
+        index = MutableVamanaIndex(params, pts, ids, "l2")
+        index.search_window_size = 40
+        return index, ref, queries
+
+    def test_initial_recall(self, built):
+        index, ref, queries = built
+        rec = ref.check_recall(index, queries, 10, floor=0.85)
+
+    def test_add_delete_consolidate_cycles(self, built):
+        index, ref, queries = built
+        for step in range(3):
+            pts, ids = ref.new_batch(200)
+            index.add_points(pts, ids)
+            ref.check_recall(index, queries, 10, floor=0.80)
+            dead = ref.delete_batch(150)
+            index.delete_points(dead)
+            # deleted ids must never surface, even before consolidation
+            ref.check_recall(index, queries, 10, floor=0.75)
+            index.consolidate()
+            ref.check_recall(index, queries, 10, floor=0.75)
+        assert index.size == len(ref.live)
+
+    def test_compact_then_search(self, built):
+        index, ref, queries = built
+        index.compact()
+        assert index.size == len(ref.live)
+        ref.check_recall(index, queries, 10, floor=0.75)
+        np.testing.assert_array_equal(
+            index.all_ids(), np.sort(np.fromiter(ref.live, dtype=np.int64)))
+
+    def test_entry_point_survives_deletion(self, pool):
+        data, queries = pool
+        params = VamanaBuildParameters(graph_max_degree=16, window_size=32)
+        index = MutableVamanaIndex(params, data[:300], np.arange(300), "l2")
+        entry_ext = index.translator.to_external([index.entry_point])[0]
+        index.delete_points([entry_ext])
+        assert index.status[index.entry_point] == 1  # new valid entry
+        res = index.search(queries[:4], 5)
+        assert (res.ids >= 0).all()
+        assert entry_ext not in res.ids
+
+
+class TestDynamicOrchestrators:
+    def test_dynamic_vamana_surface(self, pool):
+        data, queries = pool
+        params = VamanaBuildParameters(graph_max_degree=16, window_size=32)
+        dv = DynamicVamana.build(params, data[:400], np.arange(400), "l2")
+        assert dv.size == 400 and dv.has_id(3)
+        dv.add_points(data[400:450], np.arange(400, 450))
+        dv.delete_points(np.arange(10))
+        dv.consolidate().compact()
+        assert dv.size == 440
+        assert not dv.has_id(3)
+        res = dv.search(queries[:8], 5)
+        assert res.ids.shape == (8, 5)
+        assert dv.alpha == pytest.approx(1.2)
+
+    def test_dynamic_flat_surface(self, pool):
+        data, queries = pool
+        df = DynamicFlat.build(data[:100], np.arange(100), "l2")
+        df.add_points(data[100:120], np.arange(100, 120))
+        df.delete_points([0, 1])
+        assert df.size == 118
+        res = df.search(queries[:4], 3)
+        assert 0 not in res.ids and 1 not in res.ids

@@ -75,11 +75,11 @@ class TestDpBuildRound:
         b = 64
         ids = jnp.arange(b, dtype=jnp.int32)
         valid = jnp.ones((b,), bool)
-        g2, ov_dst, ov_src, ov_mask = sharded.dp_build_round(
+        g2, dropped = sharded.dp_build_round(
             mesh, graph, ds, ids, valid, jnp.asarray([0], jnp.int32),
             window=16, capacity=16, max_iters=default_max_iters(16),
-            distance="l2", pool_size=32, gen_alpha=1.2,
-            max_degree=8, prune_chunk=8)
+            distance="l2", pool_size=32, gen_alpha=1.2, rev_alpha=1.2,
+            prune_to=8, max_degree=8, prune_chunk=8)
         degs = np.asarray(g2.degrees[:b])
         assert degs.max() <= 8
         assert degs[1:].min() >= 1  # every non-entry node got linked
