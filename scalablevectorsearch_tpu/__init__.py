@@ -11,6 +11,23 @@ NUMA, and AVX-512.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent compilation cache: the compute kernels (beam search, build
+# rounds, prune) are large HLO programs whose compiles take tens of seconds;
+# caching them across processes makes builds/benchmarks start hot.
+# Opt IN with SVT_COMPILE_CACHE_DIR (hangs on the experimental axon TPU
+# plugin, so it is not enabled by default).
+if _os.environ.get("SVT_COMPILE_CACHE_DIR"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_compilation_cache_dir",
+                           _os.environ["SVT_COMPILE_CACHE_DIR"])
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax
+        pass
+
 from .core.data import VectorDataset
 from .core.graph import NeighborGraph
 from .core.io import read_vecs, write_vecs, read_npy, write_npy, \
@@ -55,10 +72,19 @@ try:  # Flat orchestrator
 except ImportError:  # pragma: no cover
     pass
 
-try:  # Dynamic Vamana
+try:  # Dynamic Vamana + Dynamic Flat
     from .index.vamana.dynamic import MutableVamanaIndex  # noqa: F401
-    from .orchestrators.dynamic_vamana import DynamicVamana  # noqa: F401
-    __all__ += ["MutableVamanaIndex", "DynamicVamana"]
+    from .index.vamana.multi import MultiMutableVamanaIndex  # noqa: F401
+    from .index.vamana.iterator import (  # noqa: F401
+        BatchIterator, DefaultSchedule, LinearSchedule)
+    from .index.vamana.calibrate import (  # noqa: F401
+        CalibrationParameters, calibrate)
+    from .orchestrators.dynamic_vamana import (  # noqa: F401
+        DynamicFlat, DynamicVamana)
+    __all__ += ["MutableVamanaIndex", "MultiMutableVamanaIndex",
+                "BatchIterator", "DefaultSchedule", "LinearSchedule",
+                "CalibrationParameters", "calibrate", "DynamicVamana",
+                "DynamicFlat"]
 except ImportError:  # pragma: no cover
     pass
 

@@ -1,0 +1,250 @@
+"""Benchmark framework: registered executables driven by job specs.
+
+Analog of the reference's ``svs_benchmark`` binary (``benchmark/``):
+``ExecutableDispatcher`` registry (``benchmark/include/svs-benchmark/
+benchmark.h:151-201``), job specs as structured documents (TOML there, JSON
+here), recall-targeted search sweeps reporting QPS / latency / recall per
+configuration (``search.h:41-110``, calibration-to-target ``search.h:266-330``)
+and build workloads capturing wall times (``build.h:158-235``).  The
+``test_generator`` executables regenerate the golden files consumed by the
+integration tests, exactly like the reference's
+(``benchmark/.../vamana/test.h:37-40``).
+
+Usage:
+    python -m scalablevectorsearch_tpu.benchmark job.json [-o results.json]
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any, Callable, Dict, List
+
+import numpy as np
+
+_REGISTRY: Dict[str, Callable[[dict], dict]] = {}
+
+
+def register_executable(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+class BenchmarkDispatcher:
+    """Name -> executable registry (benchmark.h:151-201)."""
+
+    @staticmethod
+    def names() -> List[str]:
+        return sorted(_REGISTRY)
+
+    @staticmethod
+    def lookup(name: str) -> Callable[[dict], dict]:
+        if name not in _REGISTRY:
+            raise KeyError(f"unknown benchmark executable {name!r}; "
+                           f"known: {BenchmarkDispatcher.names()}")
+        return _REGISTRY[name]
+
+
+def run_job(job: dict) -> dict:
+    """Run one job spec: {"executable": name, ...params}."""
+    fn = BenchmarkDispatcher.lookup(job["executable"])
+    start = time.time()
+    result = fn(job)
+    result.setdefault("executable", job["executable"])
+    result["wall_time_s"] = round(time.time() - start, 3)
+    return result
+
+
+def run_jobs(jobs: List[dict]) -> List[dict]:
+    return [run_job(j) for j in jobs]
+
+
+# ---------------------------------------------------------------------------
+# Shared helpers
+# ---------------------------------------------------------------------------
+
+def _load_dataset(job: dict):
+    """Resolve the job's dataset: file path or synthetic spec."""
+    from ..core.io import generate_test_dataset, read_any
+    if "data_file" in job:
+        data = read_any(job["data_file"])
+        queries = read_any(job["query_file"])
+    else:
+        spec = job.get("synthetic", {})
+        data, queries = generate_test_dataset(
+            spec.get("n", 10_000), spec.get("n_queries", 500),
+            spec.get("dim", 128), seed=spec.get("seed", 1234))
+    if "max_queries" in job:
+        queries = queries[: job["max_queries"]]
+    return data, queries
+
+
+def _groundtruth(data, queries, k, distance):
+    from ..index.flat import exhaustive_search
+    return exhaustive_search(data, queries, k, distance=distance)
+
+
+def _measure_qps(search_fn, queries, k, repeats: int = 3):
+    search_fn(queries, k)  # warm the compile cache
+    t0 = time.time()
+    for _ in range(repeats):
+        res = search_fn(queries, k)
+    dt = (time.time() - t0) / repeats
+    return res, len(queries) / dt, dt / len(queries) * 1e6
+
+
+# ---------------------------------------------------------------------------
+# Vamana workloads
+# ---------------------------------------------------------------------------
+
+@register_executable("vamana_static_build")
+def vamana_static_build(job: dict) -> dict:
+    """Build + single recall check (reference vamana static_workflow)."""
+    from ..index.vamana.index import VamanaIndex
+    from ..index.vamana.params import VamanaBuildParameters
+    from ..core.recall import k_recall_at_n
+
+    data, queries = _load_dataset(job)
+    distance = job.get("distance", "L2")
+    bp = VamanaBuildParameters(**job.get("build_parameters", {}))
+    t0 = time.time()
+    index = VamanaIndex.build(bp, data, distance)
+    build_s = time.time() - t0
+    k = job.get("num_neighbors", 10)
+    t0 = time.time()
+    gt = _groundtruth(data, queries, k, distance)
+    gt_s = time.time() - t0
+    index.search_window_size = job.get("search_window_size", 2 * k)
+    recall = k_recall_at_n(gt, index.search(queries, k))
+    return {"build_time_s": round(build_s, 3),
+            "groundtruth_time_s": round(gt_s, 3),
+            "recall": round(recall, 5),
+            "num_points": int(data.shape[0]),
+            "mean_degree": round(index.graph.mean_degree(), 2)}
+
+
+@register_executable("vamana_search")
+def vamana_search(job: dict) -> dict:
+    """Recall-targeted QPS sweep (reference search_static_workflow,
+    search.h:41-110 + 266-330)."""
+    from ..index.vamana.calibrate import calibrate
+    from ..index.vamana.index import VamanaIndex
+    from ..index.vamana.params import VamanaBuildParameters
+    from ..core.recall import k_recall_at_n
+
+    data, queries = _load_dataset(job)
+    distance = job.get("distance", "L2")
+    k = job.get("num_neighbors", 10)
+    if "index_dir" in job:
+        index = VamanaIndex.assemble(job["index_dir"])
+    else:
+        bp = VamanaBuildParameters(**job.get("build_parameters", {}))
+        index = VamanaIndex.build(bp, data, distance)
+    gt = _groundtruth(data, queries, k, distance)
+
+    configs = []
+    for window in job.get("search_window_sizes", [2 * k, 4 * k, 8 * k]):
+        index.search_window_size = window
+        res, qps, lat_us = _measure_qps(index.search, queries, k)
+        configs.append({
+            "search_window_size": window,
+            "recall": round(k_recall_at_n(gt, res), 5),
+            "qps": round(qps, 1),
+            "mean_latency_us": round(lat_us, 1)})
+
+    targets = []
+    for target in job.get("target_recalls", []):
+        params = calibrate(index, queries, gt.ids[:, :k], k, target)
+        res, qps, lat_us = _measure_qps(index.search, queries, k)
+        targets.append({
+            "target_recall": target,
+            "search_window_size":
+                params.buffer_config.search_window_size,
+            "recall": round(k_recall_at_n(gt, res), 5),
+            "qps": round(qps, 1),
+            "mean_latency_us": round(lat_us, 1)})
+    return {"configs": configs, "calibrated": targets}
+
+
+@register_executable("ivf_search")
+def ivf_search(job: dict) -> dict:
+    """IVF build + n_probes sweep (reference ivf search_static_workflow)."""
+    from ..index.ivf.index import IVFIndex
+    from ..index.ivf.params import IVFBuildParameters, IVFSearchParameters
+    from ..core.recall import k_recall_at_n
+
+    data, queries = _load_dataset(job)
+    distance = job.get("distance", "L2")
+    k = job.get("num_neighbors", 10)
+    bp = IVFBuildParameters(**job.get("build_parameters", {}))
+    t0 = time.time()
+    index = IVFIndex.build(bp, data, distance)
+    build_s = time.time() - t0
+    gt = _groundtruth(data, queries, k, distance)
+    configs = []
+    for probes in job.get("n_probes", [1, 4, 16]):
+        sp = IVFSearchParameters(n_probes=probes,
+                                 k_reorder=job.get("k_reorder", 1))
+        res, qps, lat_us = _measure_qps(
+            lambda q, kk: index.search(q, kk, sp), queries, k)
+        configs.append({"n_probes": probes,
+                        "recall": round(k_recall_at_n(gt, res), 5),
+                        "qps": round(qps, 1),
+                        "mean_latency_us": round(lat_us, 1)})
+    return {"build_time_s": round(build_s, 3), "configs": configs}
+
+
+@register_executable("vamana_test_generator")
+def vamana_test_generator(job: dict) -> dict:
+    """Regenerate golden expected-recall tables for the integration tests
+    (the reference's test_generator executables, main.cpp:36)."""
+    from ..index.vamana.index import VamanaIndex
+    from ..index.vamana.params import VamanaBuildParameters
+    from ..core.recall import k_recall_at_n
+
+    data, queries = _load_dataset(job)
+    k = job.get("num_neighbors", 10)
+    expected = []
+    for distance in job.get("distances", ["L2"]):
+        bp = VamanaBuildParameters(**job.get("build_parameters", {}))
+        index = VamanaIndex.build(bp, data, distance)
+        gt = _groundtruth(data, queries, k, distance)
+        sweeps = {}
+        for window in job.get("search_window_sizes", [10, 20, 40]):
+            index.search_window_size = window
+            sweeps[str(window)] = round(
+                k_recall_at_n(gt, index.search(queries, k)), 5)
+        expected.append({"distance": str(distance),
+                         "build_parameters": bp.resolved(distance).__dict__,
+                         "recalls": sweeps})
+    out = {"schema": "vamana_expected_results", "version": "v0.0.1",
+           "num_neighbors": k, "dataset": job.get("synthetic", {}),
+           "expected": expected}
+    if "output_file" in job:
+        with open(job["output_file"], "w") as f:
+            json.dump(out, f, indent=2)
+    return out
+
+
+def main(argv=None) -> int:
+    import argparse
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("job_file", help="JSON job spec (object or list)")
+    parser.add_argument("-o", "--output", help="write results JSON here")
+    parser.add_argument("--list", action="store_true",
+                        help="list registered executables")
+    args = parser.parse_args(argv)
+    if args.list:
+        print("\n".join(BenchmarkDispatcher.names()))
+        return 0
+    with open(args.job_file) as f:
+        spec = json.load(f)
+    results = run_jobs(spec if isinstance(spec, list) else [spec])
+    text = json.dumps(results, indent=2)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(text)
+    print(text)
+    return 0

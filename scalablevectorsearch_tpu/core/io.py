@@ -39,8 +39,21 @@ def read_vecs(path: str, dtype=None, max_rows: Optional[int] = None) -> np.ndarr
 
     The dimension prefix is validated to be constant across rows
     (reference behavior: vecs.h readers assume uniform dimensionality).
+    Uses the native mmap+threaded loader when built (lib/native.py);
+    falls back to NumPy parsing otherwise.
     """
     dt = _vecs_dtype(path, dtype)
+    from ..lib import native
+    if native.available():
+        probed = native.probe_vecs(path, dt.itemsize)
+        if probed is not None:
+            n, dim = probed
+            if max_rows is not None:
+                n = min(n, max_rows)
+            out = native.read_vecs_padded(path, dt, n, dim,
+                                          max_rows=n)
+            if out is not None:
+                return out
     raw = np.fromfile(path, dtype=np.uint8)
     if raw.size == 0:
         return np.empty((0, 0), dtype=dt)

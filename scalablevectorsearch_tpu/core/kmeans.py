@@ -48,9 +48,8 @@ def kmeans_clustering(x, num_clusters: int, num_iterations: int = 10,
     n = x.shape[0]
     if num_clusters > n:
         raise ValueError(f"num_clusters {num_clusters} > n {n}")
-    rng = np.random.default_rng(seed)
-    init = rng.choice(n, size=num_clusters, replace=False)
-    centroids = x[jnp.asarray(init)]
+    from ..index.ivf.kmeans import _kmeanspp_init
+    centroids = _kmeanspp_init(x, seed, num_clusters)
     assign = None
     for _ in range(num_iterations):
         centroids, assign = _lloyd_step(x, centroids, num_clusters)

@@ -116,6 +116,7 @@ class FlatIndex:
         all_ids = np.empty((nq, k), dtype=np.int64)
         all_vals = np.empty((nq, k), dtype=np.float32)
         mask_dev = None if row_mask is None else jnp.asarray(row_mask)
+        pending = []
         for start in range(0, nq, qb):
             stop = min(start + qb, nq)
             batch = dt.pad_matrix(
@@ -125,9 +126,11 @@ class FlatIndex:
             keys, ids = flat_search_kernel(
                 self.data, jnp.asarray(batch), k, self._tile, self.distance,
                 row_mask=mask_dev)
-            vals = dist_ops.value_from_key(self.distance, keys)
+            pending.append((start, stop, keys, ids))
+        for start, stop, keys, ids in pending:
             all_ids[start:stop] = np.asarray(ids[: stop - start])
-            all_vals[start:stop] = np.asarray(vals[: stop - start])
+            all_vals[start:stop] = np.asarray(dist_ops.value_from_key(
+                self.distance, keys[: stop - start]))
         return QueryResult(ids=all_ids, distances=all_vals)
 
     # -- persistence -----------------------------------------------------------

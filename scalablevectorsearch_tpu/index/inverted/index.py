@@ -180,18 +180,8 @@ class InvertedIndex:
         from ..ivf.kmeans import assign_full
         assign = assign_full(x, x[centroid_ids])
 
-        sizes = np.bincount(assign, minlength=k)
-        slot = int(dt.pad_to(max(int(sizes.max()), 1), 8))
-        order = np.argsort(assign, kind="stable")
-        total = k * slot
-        ids_padded = np.full(total, -1, dtype=np.int32)
-        rows = np.zeros((total, x.shape[1]), dtype=x.dtype)
-        starts = np.zeros(k + 1, dtype=np.int64)
-        np.cumsum(sizes, out=starts[1:])
-        for c in range(k):
-            seg = order[starts[c]: starts[c + 1]]
-            ids_padded[c * slot: c * slot + seg.size] = seg
-            rows[c * slot: c * slot + seg.size] = x[seg]
+        from ..ivf.clustering import pack_padded_clusters
+        rows, ids_padded, slot = pack_padded_clusters(x, assign, k)
         reordered = VectorDataset.from_array(rows)
         mask = jnp.asarray(ids_padded >= 0)
         reordered = dataclasses.replace(

@@ -53,3 +53,30 @@ class Clustering:
         saveload.check_table(table, cls.SCHEMA, cls.VERSION)
         return cls(centroids=ctx.load_array(table["centroids"]),
                    assignments=ctx.load_array(table["assignments"]))
+
+
+def pack_padded_clusters(x: np.ndarray, assignments: np.ndarray, k: int,
+                         align: int = 8):
+    """Pack rows into the uniform padded-cluster layout (the
+    DenseClusteredDataset analog, reference ivf/clustering.h:314), fully
+    vectorized: cluster c owns rows [c*slot, (c+1)*slot).
+
+    Returns (rows (k*slot, d), ids_padded (k*slot,) int32 with -1 padding,
+    slot).
+    """
+    from ...lib import datatypes as dt
+    assignments = np.asarray(assignments)
+    n = assignments.shape[0]
+    sizes = np.bincount(assignments, minlength=k)
+    slot = int(dt.pad_to(max(int(sizes.max()), 1), align))
+    order = np.argsort(assignments, kind="stable")
+    sorted_assign = assignments[order]
+    starts = np.zeros(k, dtype=np.int64)
+    np.cumsum(sizes[:-1], out=starts[1:])
+    rank = np.arange(n, dtype=np.int64) - starts[sorted_assign]
+    pos = sorted_assign.astype(np.int64) * slot + rank
+    ids_padded = np.full(k * slot, -1, dtype=np.int32)
+    ids_padded[pos] = order
+    rows = np.zeros((k * slot, x.shape[1]), dtype=x.dtype)
+    rows[pos] = x[order]
+    return rows, ids_padded, slot

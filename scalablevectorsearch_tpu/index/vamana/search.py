@@ -45,15 +45,21 @@ from ...ops import topk as topk_ops
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["ids", "keys", "n_iters", "pool_ids", "pool_keys"],
+         data_fields=["ids", "keys", "n_iters", "n_pops", "pool_ids",
+                      "pool_keys"],
          meta_fields=[])
 @dataclasses.dataclass
 class SearchOutput:
-    """Beam contents (sorted ascending) + optional build pool per query."""
+    """Beam contents (sorted ascending) + optional build pool per query.
+
+    ``n_pops`` is the per-query expansion count — the lockstep analog of the
+    reference's ``SearchTracker`` distance-computation counters
+    (search_tracker.h:29; distance computes = n_pops * R)."""
 
     ids: jax.Array        # (B, C) int32, -1 where invalid
     keys: jax.Array       # (B, C) f32, +inf where invalid
     n_iters: jax.Array    # () int32: lockstep iterations executed
+    n_pops: jax.Array     # (B,) int32: expansions per query
     pool_ids: jax.Array   # (B, P) int32 or (B, 0) when not tracked
     pool_keys: jax.Array  # (B, P) f32
 
@@ -148,14 +154,14 @@ def greedy_search(graph: NeighborGraph,
         return jnp.isfinite(keys) & (vis == 0) & window_mask
 
     def cond(state):
-        it, beam_ids, beam_keys, beam_vis, pool_ids, pool_keys = state
+        it, beam_ids, beam_keys, beam_vis, n_pops, pool_ids, pool_keys = state
         active = jnp.any(unvisited_mask(beam_keys, beam_vis))
         return jnp.logical_and(it < max_iters, active)
 
     big = jnp.int32(c + 1)
 
     def body(state):
-        it, beam_ids, beam_keys, beam_vis, pool_ids, pool_keys = state
+        it, beam_ids, beam_keys, beam_vis, n_pops, pool_ids, pool_keys = state
         unvis = unvisited_mask(beam_keys, beam_vis)
         # first m unvisited positions (beam sorted => best m)
         pos_score = jnp.where(unvis, iota_c[None, :], big)
@@ -169,6 +175,7 @@ def greedy_search(graph: NeighborGraph,
         hit = jnp.any((iota_c[None, None, :] == pos_c[:, :, None])
                       & has[:, :, None], axis=1)
         beam_vis = jnp.where(hit, 1, beam_vis)
+        n_pops = n_pops + jnp.sum(has, axis=1, dtype=jnp.int32)
 
         # expand: adjacency gather + candidate scoring, m rows per query
         nbrs = graph.neighbors(jnp.maximum(popped, 0).reshape(-1))
@@ -196,16 +203,18 @@ def greedy_search(graph: NeighborGraph,
         beam_ids = jnp.where(keep, s_ids[:, :c], beam_ids)
         beam_keys = jnp.where(keep, s_keys[:, :c], beam_keys)
         beam_vis = jnp.where(keep, s_vis[:, :c], beam_vis)
-        return (it + 1, beam_ids, beam_keys, beam_vis, pool_ids, pool_keys)
+        return (it + 1, beam_ids, beam_keys, beam_vis, n_pops,
+                pool_ids, pool_keys)
 
     state = (jnp.int32(0), beam_ids, beam_keys, beam_vis,
-             pool_ids0, pool_keys0)
-    it, beam_ids, beam_keys, beam_vis, pool_ids, pool_keys = \
+             jnp.zeros((b,), jnp.int32), pool_ids0, pool_keys0)
+    it, beam_ids, beam_keys, beam_vis, n_pops, pool_ids, pool_keys = \
         jax.lax.while_loop(cond, body, state)
 
     beam_ids = jnp.where(jnp.isfinite(beam_keys), beam_ids, -1)
     return SearchOutput(ids=beam_ids, keys=beam_keys, n_iters=it,
-                        pool_ids=pool_ids, pool_keys=pool_keys)
+                        n_pops=n_pops, pool_ids=pool_ids,
+                        pool_keys=pool_keys)
 
 
 def default_max_iters(window: int) -> int:

@@ -111,7 +111,10 @@ def gathered_keys(distance: DistanceType,
     distance = as_distance(distance)
     qf = queries.astype(jnp.float32)
     gf = gathered.astype(jnp.float32)
-    dots = jnp.einsum("bd,brd->br", qf, gf)
+    # HIGHEST precision: the TPU default would run this contraction in
+    # bf16, which visibly degrades neighbor ordering and graph quality
+    dots = jnp.einsum("bd,brd->br", qf, gf,
+                      precision=jax.lax.Precision.HIGHEST)
     if distance == DistanceType.MIP:
         return -dots
     if gathered_norms_sq is None:

@@ -182,10 +182,11 @@ class TestIDTranslator:
 
 
 class TestKMeans:
-    def test_separated_clusters(self, rng):
+    def test_separated_clusters(self):
+        local_rng = np.random.default_rng(77)
         centers = np.array([[0, 0], [100, 100], [-100, 100]], dtype=np.float32)
         x = np.concatenate([
-            centers[i] + rng.normal(size=(50, 2)).astype(np.float32)
+            centers[i] + local_rng.normal(size=(50, 2)).astype(np.float32)
             for i in range(3)])
         cents, assign = kmeans_clustering(x, 3, num_iterations=20, seed=0)
         # each true cluster maps to one learned cluster

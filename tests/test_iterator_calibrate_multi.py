@@ -1,0 +1,150 @@
+"""Tests for the batch iterator, calibration, search stats, and the
+multi-vector index (mirrors tests/svs/index/vamana/{iterator,multi}.cpp and
+the calibration paths)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import scalablevectorsearch_tpu as svt
+from scalablevectorsearch_tpu.index.vamana.calibrate import (
+    CalibrationParameters, calibrate)
+from scalablevectorsearch_tpu.index.vamana.index import VamanaIndex
+from scalablevectorsearch_tpu.index.vamana.iterator import (
+    BatchIterator, DefaultSchedule, LinearSchedule)
+from scalablevectorsearch_tpu.index.vamana.multi import MultiMutableVamanaIndex
+from scalablevectorsearch_tpu.index.vamana.params import VamanaBuildParameters
+
+
+@pytest.fixture(scope="module")
+def built(small_dataset):
+    data, queries = small_dataset
+    params = VamanaBuildParameters(graph_max_degree=24, window_size=48)
+    index = VamanaIndex.build(params, data, "l2", batch_size=256)
+    gt = svt.exhaustive_search(data, queries, 50)
+    return index, data, queries, gt
+
+
+class TestBatchIterator:
+    def test_batches_are_disjoint_and_ordered(self, built):
+        index, data, queries, gt = built
+        it = BatchIterator(index, queries[0], batch_size=10)
+        seen = set()
+        last_best = -np.inf
+        for _ in range(4):
+            res = it.next()
+            ids = res.ids[0]
+            ids = ids[ids >= 0]
+            assert len(set(ids.tolist()) & seen) == 0
+            seen.update(ids.tolist())
+            # batches are nearest-first within each page
+            d = res.distances[0][: len(ids)]
+            assert (np.diff(d) >= -1e-6).all()
+            assert d[0] >= last_best - 1e-6
+            last_best = d[-1] if len(d) else last_best
+        assert len(seen) == 40
+
+    def test_first_batch_recall(self, built):
+        index, data, queries, gt = built
+        hits = 0
+        for qi in range(20):
+            it = BatchIterator(index, queries[qi], batch_size=10)
+            res = it.next()
+            hits += len(set(res.ids[0].tolist())
+                        & set(gt.ids[qi, :10].tolist()))
+        assert hits / 200 >= 0.8
+
+    def test_exhaustion(self, built):
+        index, data, queries, gt = built
+        it = BatchIterator(index, queries[0], batch_size=512,
+                           schedule=LinearSchedule(512, 512))
+        total = 0
+        for _ in range(8):
+            res = it.next()
+            total += int((res.ids >= 0).sum())
+            if it.done():
+                break
+        assert it.done()
+        # every node reachable from the entry point gets yielded; isolated
+        # nodes (if any) cannot be reached by graph traversal
+        assert total >= 0.99 * index.size
+
+    def test_restart(self, built):
+        index, data, queries, gt = built
+        it = BatchIterator(index, queries[0], batch_size=5)
+        first = it.next().ids.copy()
+        it.restart()
+        again = it.next().ids
+        np.testing.assert_array_equal(first, again)
+        it.restart(query=queries[1])
+        other = it.next().ids
+        assert not np.array_equal(first, other)
+
+
+class TestCalibrate:
+    def test_hits_target(self, built):
+        index, data, queries, gt = built
+        params = calibrate(index, queries, gt.ids[:, :10], 10,
+                           target_recall=0.9)
+        res = index.search(queries, 10)
+        rec = svt.k_recall_at_n(gt.ids[:, :10], res)
+        assert rec >= 0.9
+        # calibrated window should be meaningfully below the upper bound
+        assert params.buffer_config.search_window_size < 512
+
+    def test_unreachable_target_returns_best_effort(self, built):
+        index, data, queries, gt = built
+        params = calibrate(index, queries, gt.ids[:, :10], 10,
+                           target_recall=1.01,
+                           parameters=CalibrationParameters(
+                               search_window_upper=64))
+        assert params.buffer_config.search_window_size == 64
+
+
+class TestSearchStats:
+    def test_pops_counted(self, built):
+        index, data, queries, gt = built
+        from scalablevectorsearch_tpu.index.vamana.search import (
+            default_max_iters, greedy_search)
+        from scalablevectorsearch_tpu.lib.datatypes import pad_matrix
+        q = jnp.asarray(pad_matrix(queries[:8]))
+        out = greedy_search(index.graph, index.data, q,
+                            jnp.asarray([index.entry_point], jnp.int32),
+                            window=16, capacity=16,
+                            max_iters=default_max_iters(16), distance="l2")
+        pops = np.asarray(out.n_pops[:8])
+        assert (pops >= 16).all()          # at least window pops each
+        assert (pops <= int(out.n_iters) * 4).all()
+
+
+class TestMultiVector:
+    def test_label_dedup(self, small_dataset):
+        data, queries = small_dataset
+        # 3 vectors per label: jittered copies
+        rng = np.random.default_rng(0)
+        reps = np.concatenate([data + rng.normal(scale=0.01,
+                                                 size=data.shape)
+                               for _ in range(3)]).astype(np.float32)
+        labels = np.concatenate([np.arange(len(data))] * 3)
+        params = VamanaBuildParameters(graph_max_degree=24, window_size=48)
+        index = MultiMutableVamanaIndex(params, reps[:1500],
+                                        labels[:1500], "l2")
+        index.search_window_size = 40
+        res = index.search(queries[:16], 10)
+        for row in res.ids:
+            live = row[row >= 0]
+            assert len(np.unique(live)) == len(live)  # labels unique
+
+    def test_add_delete_by_label(self, small_dataset):
+        data, queries = small_dataset
+        params = VamanaBuildParameters(graph_max_degree=16, window_size=32)
+        index = MultiMutableVamanaIndex(
+            params, data[:300], np.arange(300) // 3, "l2")
+        assert index.size == 100 and index.num_vectors == 300
+        index.add_points(data[300:306], [100, 100, 101, 101, 102, 102])
+        assert index.size == 103
+        index.delete_points([0, 100])
+        assert index.size == 101
+        assert not index.has_id(0)
+        res = index.search(queries[:8], 5)
+        assert 0 not in res.ids and 100 not in res.ids
