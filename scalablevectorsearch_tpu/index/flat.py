@@ -105,8 +105,13 @@ class FlatIndex:
     def dimensions(self) -> int:
         return self.data.dim
 
-    def search(self, queries, k: int, row_mask=None) -> QueryResult:
-        """Batch exhaustive search; returns external-facing QueryResult."""
+    def search(self, queries, k: int, row_mask=None,
+               cancel=None) -> QueryResult:
+        """Batch exhaustive search; returns external-facing QueryResult.
+
+        ``cancel``: optional predicate checked between batches (the
+        cancellation hook of reference flat.h:326)."""
+        from ..lib.exceptions import check_cancel
         queries = np.asarray(queries)
         nq, dim = queries.shape
         if dim != self.data.dim:
@@ -118,6 +123,7 @@ class FlatIndex:
         mask_dev = None if row_mask is None else jnp.asarray(row_mask)
         pending = []
         for start in range(0, nq, qb):
+            check_cancel(cancel)
             stop = min(start + qb, nq)
             batch = dt.pad_matrix(
                 queries[start:stop].astype(np.float32),

@@ -115,9 +115,14 @@ class VamanaIndex:
 
     # -- search -------------------------------------------------------------------
     def search(self, queries, k: int,
-               parameters: Optional[VamanaSearchParameters] = None
-               ) -> QueryResult:
-        """Batch greedy search (reference index.h:556-603)."""
+               parameters: Optional[VamanaSearchParameters] = None,
+               cancel=None) -> QueryResult:
+        """Batch greedy search (reference index.h:556-603).
+
+        ``cancel``: optional zero-arg predicate checked between query-batch
+        dispatches (reference cancellation hooks, index.h:504-518); raises
+        lib.exceptions.SearchCancelled when it fires."""
+        from ...lib.exceptions import check_cancel
         params = parameters or self._search_parameters
         cfg = params.buffer_config
         window = max(cfg.search_window_size, k)
@@ -139,6 +144,7 @@ class VamanaIndex:
         # analog of the reference's per-thread query partitions)
         pending = []
         for start in range(0, nq, qb):
+            check_cancel(cancel)
             stop = min(start + qb, nq)
             rows = min(qb, dt.pad_to(stop - start, 8))
             batch = dt.pad_matrix(queries[start:stop].astype(np.float32),

@@ -1,0 +1,105 @@
+"""Auxiliary subsystem tests: cancellation, upgrader, native IO, logging."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import scalablevectorsearch_tpu as svt
+from scalablevectorsearch_tpu.lib import native
+from scalablevectorsearch_tpu.lib.exceptions import ANNException, \
+    SearchCancelled
+from scalablevectorsearch_tpu.utils import upgrader
+
+
+@pytest.fixture(scope="module")
+def tiny_index(small_dataset):
+    data, queries = small_dataset
+    return svt.FlatIndex.from_array(data[:500], query_batch_size=16), \
+        queries
+
+
+class TestCancellation:
+    def test_cancel_fires(self, tiny_index):
+        index, queries = tiny_index
+        calls = [0]
+
+        def cancel():
+            calls[0] += 1
+            return calls[0] > 2
+
+        with pytest.raises(SearchCancelled):
+            index.search(queries[:100], 5, cancel=cancel)
+        assert calls[0] == 3
+        assert issubclass(SearchCancelled, ANNException)
+
+    def test_no_cancel_is_normal(self, tiny_index):
+        index, queries = tiny_index
+        res = index.search(queries[:8], 5, cancel=lambda: False)
+        assert res.ids.shape == (8, 5)
+
+    def test_vamana_cancel(self, small_dataset):
+        data, queries = small_dataset
+        params = svt.VamanaBuildParameters(graph_max_degree=16,
+                                           window_size=32)
+        idx = svt.VamanaIndex.build(params, data[:500], "l2", batch_size=128,
+                                    query_batch_size=16)
+        with pytest.raises(SearchCancelled):
+            idx.search(queries[:100], 5, cancel=lambda: True)
+
+
+class TestUpgrader:
+    def test_inspect_current_checkpoint(self, tmp_path, small_dataset):
+        data, _ = small_dataset
+        index = svt.FlatIndex.from_array(data[:100])
+        index.save(str(tmp_path / "ck"))
+        report = upgrader.inspect(str(tmp_path / "ck"))
+        assert len(report) >= 2
+        assert all(e["status"] == "up-to-date" for e in report)
+
+    def test_upgrade_applies_migration(self, tmp_path):
+        # fabricate a stale table + a migration for it
+        d = tmp_path / "old"
+        d.mkdir()
+        with open(d / "svs_config.json", "w") as f:
+            json.dump({"__schema__": "uncompressed_data",
+                       "__version__": "v0.0.1", "dims": 4}, f)
+
+        @upgrader.register_migration("uncompressed_data", "v0.0.1")
+        def migrate(table, directory):
+            table["__version__"] = "v0.0.2"
+            table["migrated"] = True
+            return table
+
+        try:
+            actions = upgrader.upgrade(str(d))
+            assert any(a["action"] == "upgraded" for a in actions)
+            with open(d / "svs_config.json") as f:
+                table = json.load(f)
+            assert table["__version__"] == "v0.0.2" and table["migrated"]
+            assert os.path.exists(str(d) + ".bak")
+        finally:
+            upgrader._MIGRATIONS.pop(("uncompressed_data", "v0.0.1"), None)
+
+
+class TestNativeIO:
+    def test_native_matches_numpy(self, tmp_path, rng):
+        if not native.available():
+            pytest.skip("native library not built")
+        x = rng.normal(size=(257, 33)).astype(np.float32)
+        path = str(tmp_path / "x.fvecs")
+        svt.write_vecs(path, x)
+        y = svt.read_vecs(path)           # native path
+        np.testing.assert_array_equal(x, y)
+        n, dim = native.probe_vecs(path, 4)
+        assert (n, dim) == (257, 33)
+
+    def test_native_rejects_corrupt(self, tmp_path):
+        if not native.available():
+            pytest.skip("native library not built")
+        path = str(tmp_path / "bad.fvecs")
+        with open(path, "wb") as f:
+            f.write(b"\x05\x00\x00\x00short")
+        with pytest.raises(ValueError):
+            svt.read_vecs(path)
