@@ -96,7 +96,7 @@ def _prune_pools(data: VectorDataset, pool_ids, pool_keys, self_ids,
 @partial(jax.jit, static_argnames=(
     "window", "capacity", "max_iters", "distance", "pool_size",
     "gen_alpha", "rev_alpha", "prune_to", "max_degree", "prune_chunk",
-    "pop_width"))
+    "pop_width", "prune_pool"))
 def build_round(graph: NeighborGraph,
                 data: VectorDataset,
                 batch_ids: jax.Array,
@@ -106,7 +106,8 @@ def build_round(graph: NeighborGraph,
                 window: int, capacity: int, max_iters: int,
                 distance: dist_ops.DistanceType, pool_size: int,
                 gen_alpha: float, rev_alpha: float, prune_to: int,
-                max_degree: int, prune_chunk: int, pop_width: int = 4):
+                max_degree: int, prune_chunk: int, pop_width: int = 4,
+                prune_pool: int = 0):
     """One fully-fused synchronous build round over a batch of nodes:
     search -> prune -> commit -> reverse-edge append -> on-device overflow
     grouping -> reprune.  A single jit call with no host synchronization, so
@@ -140,9 +141,14 @@ def build_round(graph: NeighborGraph,
     pool_ids = jnp.where(jnp.isfinite(pool_keys), pool_ids, -1)
 
     # --- 2. prune + commit ----------------------------------------------
+    # The prune's pairwise matrix is O(P^2) in HBM traffic; capping the
+    # prune to the best `prune_pool` candidates (selection virtually never
+    # reaches deeper) keeps the candidate capture large while making the
+    # prune cheap.  0 = use the full pool (exact reference semantics).
+    pp = prune_pool if 0 < prune_pool < pool_size else pool_size
     new_rows, new_degs = _prune_pools(
-        data, pool_ids, pool_keys, batch_ids, gen_alpha, r, distance,
-        prune_chunk)
+        data, pool_ids[:, :pp], pool_keys[:, :pp], batch_ids, gen_alpha, r,
+        distance, prune_chunk)
     pad_cols = r - new_rows.shape[1]
     if pad_cols > 0:
         new_rows = jnp.pad(new_rows, ((0, 0), (0, pad_cols)),
@@ -265,8 +271,9 @@ def build_graph(data: VectorDataset,
                 *,
                 entry_point: Optional[int] = None,
                 batch_size: Optional[int] = None,
-                prune_chunk: int = 128,
-                pop_width: int = 4,
+                prune_chunk: int = 256,
+                pop_width: int = 2,
+                prune_pool: int = 0,
                 logger=None,
                 timer: Optional[timing.Timer] = None,
                 ) -> Tuple[NeighborGraph, int]:
@@ -315,7 +322,7 @@ def build_graph(data: VectorDataset,
                     gen_alpha=float(params.alpha),
                     rev_alpha=float(rev_alpha), prune_to=params.prune_to,
                     max_degree=r, prune_chunk=prune_chunk,
-                    pop_width=pop_width)
+                    pop_width=pop_width, prune_pool=prune_pool)
                 dropped_counts.append(dropped)
             jax.block_until_ready(graph.adjacency)
         logger.info("pass %d/%d complete (alpha=%.3f)", pass_idx + 1,

@@ -71,7 +71,7 @@ class VamanaIndex:
               *,
               dtype=None,
               batch_size: Optional[int] = None,
-              pop_width: int = 4,
+              pop_width: int = 2,
               timer: Optional[timing.Timer] = None,
               logger=None,
               **kwargs) -> "VamanaIndex":

@@ -34,6 +34,22 @@ class DistanceType(enum.Enum):
     Cosine = "Cosine"
 
 
+def _precision_from_env(var: str, default: str):
+    import os
+    name = os.environ.get(var, default).upper()
+    return {"DEFAULT": jax.lax.Precision.DEFAULT,
+            "HIGH": jax.lax.Precision.HIGH,
+            "HIGHEST": jax.lax.Precision.HIGHEST}[name]
+
+
+# Matmul precision knobs (TPU: DEFAULT=1-pass bf16, HIGH=3-pass, HIGHEST=
+# 6-pass).  Beam/candidate scoring defaults to HIGHEST (bf16 noise measurably
+# degrades neighbor ordering); the build-time prune pairwise matrix has its
+# own knob since it dominates build FLOPs.
+SCORE_PRECISION = _precision_from_env("SVT_SCORE_PRECISION", "HIGHEST")
+PRUNE_PRECISION = _precision_from_env("SVT_PRUNE_PRECISION", "HIGHEST")
+
+
 def as_distance(d) -> DistanceType:
     if isinstance(d, DistanceType):
         return d
@@ -111,10 +127,9 @@ def gathered_keys(distance: DistanceType,
     distance = as_distance(distance)
     qf = queries.astype(jnp.float32)
     gf = gathered.astype(jnp.float32)
-    # HIGHEST precision: the TPU default would run this contraction in
+    # high precision: the TPU default would run this contraction in
     # bf16, which visibly degrades neighbor ordering and graph quality
-    dots = jnp.einsum("bd,brd->br", qf, gf,
-                      precision=jax.lax.Precision.HIGHEST)
+    dots = jnp.einsum("bd,brd->br", qf, gf, precision=SCORE_PRECISION)
     if distance == DistanceType.MIP:
         return -dots
     if gathered_norms_sq is None:

@@ -78,7 +78,7 @@ def robust_prune(pool_ids: jax.Array,
     # reference's distance functor returns), similarities for MIP/cosine.
     vf = pool_vectors.astype(jnp.float32)
     dots = jnp.einsum("bpd,bqd->bpq", vf, vf,
-                      precision=jax.lax.Precision.HIGHEST,
+                      precision=dist_ops.PRUNE_PRECISION,
                       preferred_element_type=jnp.float32)
     if distance == dist_ops.DistanceType.L2:
         pair = (pool_norms_sq[:, :, None] - 2.0 * dots

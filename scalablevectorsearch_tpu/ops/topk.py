@@ -31,15 +31,34 @@ def smallest_k(keys: jax.Array, ids: jax.Array | None, k: int
 
     Returns:
       (B, k) keys ascending, (B, k) ids (INVALID_ID where key is +inf).
+
+    Implementation: ``lax.top_k`` costs O(N*k) on TPU and collapses for
+    large k; past a crossover a full row sort + slice is far cheaper, so
+    the selection strategy switches on k (the beam/pool maintenance paths
+    routinely keep hundreds of candidates).
     """
-    neg, idx = jax.lax.top_k(-keys, k)
-    out_keys = -neg
-    if ids is None:
-        out_ids = idx.astype(jnp.int32)
-    elif ids.ndim == 1:
-        out_ids = jnp.take(ids, idx, axis=0, mode="clip").astype(jnp.int32)
+    n = keys.shape[-1]
+    use_sort = k > 64 or 4 * k >= n
+    if use_sort:
+        if ids is None:
+            ids = jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32), keys.shape)
+        elif ids.ndim == 1:
+            ids = jnp.broadcast_to(ids.astype(jnp.int32), keys.shape)
+        s_keys, s_ids = jax.lax.sort((keys, ids.astype(jnp.int32)),
+                                     dimension=-1, num_keys=1)
+        out_keys = s_keys[..., :k]
+        out_ids = s_ids[..., :k]
     else:
-        out_ids = jnp.take_along_axis(ids, idx, axis=1).astype(jnp.int32)
+        neg, idx = jax.lax.top_k(-keys, k)
+        out_keys = -neg
+        if ids is None:
+            out_ids = idx.astype(jnp.int32)
+        elif ids.ndim == 1:
+            out_ids = jnp.take(ids, idx, axis=0,
+                               mode="clip").astype(jnp.int32)
+        else:
+            out_ids = jnp.take_along_axis(ids, idx, axis=1).astype(jnp.int32)
     out_ids = jnp.where(jnp.isinf(out_keys), INVALID_ID, out_ids)
     return out_keys, out_ids
 
