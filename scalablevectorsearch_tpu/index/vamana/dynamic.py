@@ -151,7 +151,7 @@ class MutableVamanaIndex:
                 gen_alpha=float(p.alpha), rev_alpha=float(p.alpha),
                 prune_to=p.prune_to,
                 max_degree=p.graph_max_degree, prune_chunk=128,
-                pop_width=1)
+                pop_width=2)
 
     # -- properties -------------------------------------------------------------
     @property

@@ -102,6 +102,84 @@ def sharded_flat_search(mesh: Mesh, data: VectorDataset, queries: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Cluster-sharded IVF search
+# ---------------------------------------------------------------------------
+
+def sharded_ivf_search(mesh: Mesh, index, queries: jax.Array, k: int, *,
+                       n_probes: int, axis: str = "shard",
+                       sub: int = 256):
+    """IVF search with posting lists sharded across devices by cluster.
+
+    Centroids are replicated (phase 1 = one replicated matmul); each device
+    scans only the probed clusters it owns (the uniform padded layout makes
+    cluster c's rows a contiguous local slice), and per-device top-k
+    candidates are all-gathered and merged — the ICI analog of the
+    reference's NUMA-partitioned posting scans (SURVEY §5).
+
+    ``index``: a single-chip IVFIndex; its padded layout is resharded here.
+    Returns replicated (B, k) keys and original ids.
+    """
+    import dataclasses
+    from ..index.ivf.index import scan_padded_clusters
+
+    distance = index.distance
+    n_shards = mesh.shape[axis]
+    kk = int(k)
+    slot = index.slot
+    eff_sub = min(sub, slot)
+    while slot % eff_sub != 0:
+        eff_sub //= 2
+    n_clusters = index.num_centroids
+    # pad cluster count to a multiple of the shard count
+    k_pad = -(-n_clusters // n_shards) * n_shards
+    grow_rows = (k_pad - n_clusters) * slot
+    data = index.data
+    ids_padded = index.ids_padded
+    if grow_rows:
+        data = data.with_capacity(data.capacity + grow_rows)
+        ids_padded = jnp.pad(ids_padded, (0, grow_rows), constant_values=-1)
+    local_k = k_pad // n_shards
+
+    data_sh = dataclasses.replace(
+        data,
+        vectors=jax.device_put(data.vectors,
+                               NamedSharding(mesh, P(axis, None))),
+        norms_sq=jax.device_put(data.norms_sq, NamedSharding(mesh, P(axis))))
+    ids_sh = jax.device_put(ids_padded, NamedSharding(mesh, P(axis)))
+
+    centroids = index.centroids
+    centroid_norms = index.centroid_norms
+    n_probes = min(n_probes, n_clusters)
+
+    def local(vectors, norms, idpad, q):
+        me = jax.lax.axis_index(axis)
+        local_data = dataclasses.replace(data, vectors=vectors,
+                                         norms_sq=norms, n=vectors.shape[0])
+        q_norms = jnp.sum(q.astype(jnp.float32) ** 2, axis=-1)
+        ckeys = dist_ops.pairwise_keys(distance, q, centroids,
+                                       vector_norms_sq=centroid_norms,
+                                       query_norms_sq=q_norms)
+        _, probes = topk_ops.smallest_k(ckeys, None, n_probes)
+        # translate to local cluster ids; foreign probes masked out
+        local_probe = probes - me * local_k
+        mine = (local_probe >= 0) & (local_probe < local_k) & (probes >= 0)
+        keys, ids = scan_padded_clusters(
+            local_data, idpad, q, q_norms,
+            jnp.where(mine, local_probe, 0), mine,
+            keep=kk, slot=slot, sub=eff_sub, distance=distance)
+        all_keys = jax.lax.all_gather(keys, axis, axis=1)     # (B, S, k)
+        all_ids = jax.lax.all_gather(ids, axis, axis=1)
+        b = q.shape[0]
+        return topk_ops.smallest_k(all_keys.reshape(b, n_shards * kk),
+                                   all_ids.reshape(b, n_shards * kk), kk)
+
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(axis, None), P(axis), P(axis), P()),
+                       out_specs=(P(), P()), check_vma=False)
+    return jax.jit(fn)(data_sh.vectors, data_sh.norms_sq, ids_sh, queries)
+
+
+# ---------------------------------------------------------------------------
 # Query-parallel (dp) greedy search over a replicated index
 # ---------------------------------------------------------------------------
 

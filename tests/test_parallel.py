@@ -83,3 +83,28 @@ class TestDpBuildRound:
         degs = np.asarray(g2.degrees[:b])
         assert degs.max() <= 8
         assert degs[1:].min() >= 1  # every non-entry node got linked
+
+
+class TestShardedIVF:
+    def test_matches_single_device(self, eight_devices):
+        import scalablevectorsearch_tpu as svt
+        from scalablevectorsearch_tpu.index.ivf.index import IVFIndex
+        from scalablevectorsearch_tpu.index.ivf.params import (
+            IVFBuildParameters, IVFSearchParameters)
+        from scalablevectorsearch_tpu.lib.datatypes import pad_matrix
+
+        data, queries = svt.generate_test_dataset(3000, 40, 32, seed=13)
+        params = IVFBuildParameters(num_centroids=64, num_iterations=4,
+                                    training_fraction=0.5,
+                                    is_hierarchical=False)
+        index = IVFIndex.build(params, data, "l2")
+        single = index.search(queries, 10,
+                              IVFSearchParameters(n_probes=16))
+        mesh = mesh_mod.make_mesh(8, axis_name="shard")
+        q = jnp.asarray(pad_matrix(queries))
+        keys, ids = sharded.sharded_ivf_search(mesh, index, q, 10,
+                                               n_probes=16)
+        got = np.asarray(ids)[:40]
+        # identical candidate sets modulo distance ties
+        agree = (got == single.ids).mean()
+        assert agree > 0.98, agree
