@@ -90,9 +90,11 @@ except ImportError:  # pragma: no cover
 
 try:  # IVF
     from .index.ivf.params import IVFBuildParameters, IVFSearchParameters  # noqa: F401
+    from .index.ivf.dynamic import DynamicIVF  # noqa: F401
+    from .index.ivf.iterator import IVFBatchIterator  # noqa: F401
     from .orchestrators.ivf import IVF, Clustering  # noqa: F401
     __all__ += ["IVFBuildParameters", "IVFSearchParameters", "IVF",
-                "Clustering"]
+                "Clustering", "DynamicIVF", "IVFBatchIterator"]
 except ImportError:  # pragma: no cover
     pass
 

@@ -1,0 +1,253 @@
+"""Dynamic (mutable) IVF index.
+
+TPU-native analog of the reference's ``DynamicIVFIndex``
+(``include/svs/index/ivf/dynamic_ivf.h``): fixed centroids from the initial
+clustering, mutable posting lists, external-id translation.
+
+The uniform padded-cluster layout makes mutation cheap and device-friendly:
+
+* **add**: one centroid matmul assigns each new point; free slots inside the
+  target cluster's padded range are filled by a host-side free-list +
+  ``scatter_rows`` (the analog of the reference's per-cluster blocked
+  resize, dynamic_ivf.h:889-996); when a cluster is full, the whole layout
+  is repacked with a larger slot (rare, amortized);
+* **delete**: a slot becomes padding again (id -> -1, norm -> +inf) — the
+  scan kernel's masking makes deletion free at search time;
+* **compact**: repack clusters densely to the minimal aligned slot.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.data import VectorDataset
+from ...core.query_result import QueryResult
+from ...core.translation import IDTranslator
+from ...lib import datatypes as dt
+from ...ops import distance as dist_ops
+from .clustering import Clustering
+from .index import ivf_search_kernel
+from .kmeans import assign_full
+from .params import IVFBuildParameters, IVFSearchParameters
+
+
+class DynamicIVFIndex:
+    def __init__(self, clustering: Clustering, data, external_ids, distance,
+                 *, slot_slack: float = 1.5, query_batch_size: int = 2048,
+                 scan_subtile: int = 256, logger=None):
+        x = np.asarray(data, dtype=np.float32)
+        external_ids = np.asarray(external_ids, dtype=np.int64)
+        self.distance = dist_ops.as_distance(distance)
+        self.k = clustering.num_centroids
+        self.query_batch_size = query_batch_size
+        self.scan_subtile = scan_subtile
+        self._d = x.shape[1]
+
+        centroids = np.asarray(clustering.centroids, dtype=np.float32)
+        d_pad = dt.padded_dim(self._d)
+        if centroids.shape[1] < d_pad:
+            centroids = np.pad(centroids,
+                               ((0, 0), (0, d_pad - centroids.shape[1])))
+        self.centroids = jnp.asarray(centroids)
+        self.centroid_norms = jnp.sum(self.centroids ** 2, axis=-1)
+
+        assign = np.asarray(clustering.assignments)
+        sizes = np.bincount(assign, minlength=self.k)
+        slot = int(dt.pad_to(max(int(sizes.max() * slot_slack), 8), 8))
+        self._init_layout(x, external_ids, assign, slot)
+
+    # -- layout --------------------------------------------------------------
+    def _init_layout(self, x, external_ids, assign, slot: int):
+        """(Re)pack points into a padded layout with the given slot size."""
+        k = self.k
+        self.slot = slot
+        total = k * slot
+        order = np.argsort(assign, kind="stable")
+        sizes = np.bincount(assign, minlength=k)
+        if sizes.max() > slot:
+            raise ValueError("slot too small for cluster sizes")
+        starts = np.zeros(k, dtype=np.int64)
+        np.cumsum(sizes[:-1], out=starts[1:])
+        rank = np.arange(x.shape[0]) - starts[assign[order]]
+        pos = assign[order].astype(np.int64) * slot + rank
+
+        rows = np.zeros((total, x.shape[1]), dtype=np.float32)
+        rows[pos] = x[order]
+        self.data = VectorDataset.from_array(rows, capacity=total)
+        # padding = +inf norms so the scan can never return it
+        occupied = np.zeros(total, dtype=bool)
+        occupied[pos] = True
+        self.data = dataclasses.replace(
+            self.data, norms_sq=jnp.where(jnp.asarray(occupied),
+                                          self.data.norms_sq, jnp.inf))
+        self._fill = sizes.astype(np.int64)          # per-cluster live count
+        self._occupied = occupied                    # host mirror
+        self.translator = IDTranslator(total)
+        self.translator.insert(external_ids[order], pos)
+        # the scan returns slot positions; external translation happens at
+        # the API boundary through the translator
+        ids_padded = np.full(total, -1, dtype=np.int32)
+        ids_padded[pos] = pos.astype(np.int32)
+        self.ids_padded = jnp.asarray(ids_padded)
+
+    # -- properties --------------------------------------------------------------
+    @property
+    def size(self) -> int:
+        return len(self.translator)
+
+    @property
+    def dimensions(self) -> int:
+        return self._d
+
+    @property
+    def num_centroids(self) -> int:
+        return self.k
+
+    def all_ids(self) -> np.ndarray:
+        return np.sort(self.translator.all_external_ids())
+
+    def has_id(self, external_id: int) -> bool:
+        return external_id in self.translator
+
+    # -- search --------------------------------------------------------------------
+    def search(self, queries, k: int,
+               parameters: Optional[IVFSearchParameters] = None
+               ) -> QueryResult:
+        params = parameters or IVFSearchParameters()
+        n_probes = min(params.n_probes, self.k)
+        keep = max(k * params.k_reorder, k)
+        sub = min(self.scan_subtile, self.slot)
+        while self.slot % sub != 0:
+            sub //= 2
+        queries = np.asarray(queries)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        nq, dim = queries.shape
+        if dim != self._d:
+            raise ValueError(f"query dim {dim} != dataset dim {self._d}")
+        qb = self.query_batch_size
+        out_ids = np.empty((nq, k), dtype=np.int64)
+        out_vals = np.empty((nq, k), dtype=np.float32)
+        for start in range(0, nq, qb):
+            stop = min(start + qb, nq)
+            batch = dt.pad_matrix(queries[start:stop].astype(np.float32),
+                                  n_pad=min(qb, dt.pad_to(stop - start, 8)),
+                                  d_pad=self.data.padded_dim)
+            keys, slots = ivf_search_kernel(
+                self.centroids, self.centroid_norms, self.data,
+                self.ids_padded, jnp.asarray(batch), n_probes=n_probes,
+                keep=keep, slot=self.slot, sub=sub, distance=self.distance)
+            keys, slots = keys[:, :k], slots[:, :k]
+            s = np.asarray(slots[: stop - start])
+            out_ids[start:stop] = np.where(
+                s >= 0, self.translator.to_external(np.maximum(s, 0)), -1)
+            out_vals[start:stop] = np.asarray(dist_ops.value_from_key(
+                self.distance, keys[: stop - start]))
+        return QueryResult(ids=out_ids, distances=out_vals)
+
+    # -- mutation -----------------------------------------------------------------
+    def add_points(self, points, external_ids) -> None:
+        points = np.asarray(points, dtype=np.float32)
+        external_ids = np.asarray(external_ids, dtype=np.int64)
+        assign = assign_full(points, np.asarray(self.centroids)[:, :self._d])
+        need = np.bincount(assign, minlength=self.k)
+        if np.any(self._fill + need > self.slot):
+            self._regrow(int((self._fill + need).max() * 1.5))
+        slots = np.empty(points.shape[0], dtype=np.int64)
+        for i, c in enumerate(assign):
+            base = c * self.slot
+            # first free slot inside cluster c's range
+            free = np.nonzero(~self._occupied[base: base + self.slot])[0]
+            slots[i] = base + free[0]
+            self._occupied[slots[i]] = True
+            self._fill[c] += 1
+        self.translator.insert(external_ids, slots)
+        rows = jnp.asarray(dt.pad_matrix(points, n_pad=points.shape[0],
+                                         d_pad=self.data.padded_dim))
+        self.data = self.data.scatter_rows(jnp.asarray(slots), rows)
+        self.ids_padded = self.ids_padded.at[jnp.asarray(slots)].set(
+            jnp.asarray(slots, dtype=jnp.int32))
+
+    def delete_points(self, external_ids) -> None:
+        slots = self.translator.remove(external_ids)
+        self._occupied[slots] = False
+        clusters = (slots // self.slot).astype(np.int64)
+        for c in clusters:
+            self._fill[c] -= 1
+        self.ids_padded = self.ids_padded.at[jnp.asarray(slots)].set(-1)
+        self.data = dataclasses.replace(
+            self.data, norms_sq=self.data.norms_sq.at[jnp.asarray(slots)]
+            .set(jnp.inf))
+
+    def compact(self) -> None:
+        """Repack to the minimal aligned slot size."""
+        self._regrow(int(self._fill.max()))
+
+    def _regrow(self, min_slot: int) -> None:
+        live = np.nonzero(self._occupied)[0]
+        ext = self.translator.to_external(live)
+        x = np.asarray(self.data.vectors)[live][:, : self._d]
+        assign = (live // self.slot).astype(np.int32)
+        self._init_layout(x, ext, assign, int(dt.pad_to(max(min_slot, 8), 8)))
+
+    def consolidate(self) -> None:
+        """No graph to repair; retained for API parity."""
+
+
+class DynamicIVF:
+    """Orchestrator (reference ``svs::DynamicIVF``, orchestrators/
+    dynamic_ivf.h)."""
+
+    def __init__(self, index: DynamicIVFIndex):
+        self._index = index
+
+    @staticmethod
+    def build(parameters: IVFBuildParameters, data, external_ids, distance,
+              **kwargs) -> "DynamicIVF":
+        clustering = Clustering.build(parameters, data)
+        return DynamicIVF(DynamicIVFIndex(clustering, data, external_ids,
+                                          distance, **kwargs))
+
+    def search(self, queries, n_neighbors: int) -> QueryResult:
+        return self._index.search(queries, n_neighbors)
+
+    def add_points(self, points, external_ids) -> None:
+        self._index.add_points(points, external_ids)
+
+    def delete_points(self, external_ids) -> None:
+        self._index.delete_points(external_ids)
+
+    def consolidate(self) -> "DynamicIVF":
+        self._index.consolidate()
+        return self
+
+    def compact(self) -> "DynamicIVF":
+        self._index.compact()
+        return self
+
+    def all_ids(self) -> np.ndarray:
+        return self._index.all_ids()
+
+    def has_id(self, external_id: int) -> bool:
+        return self._index.has_id(external_id)
+
+    @property
+    def size(self) -> int:
+        return self._index.size
+
+    @property
+    def dimensions(self) -> int:
+        return self._index.dimensions
+
+    @property
+    def search_parameters(self):
+        return getattr(self._index, "_search_parameters",
+                       IVFSearchParameters())
+
+    @property
+    def index(self) -> DynamicIVFIndex:
+        return self._index

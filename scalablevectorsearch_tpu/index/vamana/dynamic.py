@@ -35,6 +35,7 @@ from ...core.graph import NeighborGraph
 from ...core.query_result import QueryResult
 from ...core.translation import IDTranslator
 from ...lib import datatypes as dt
+from ...lib import saveload
 from ...lib import logging as svs_logging
 from ...ops import distance as dist_ops
 from ...ops import topk as topk_ops
@@ -43,6 +44,11 @@ from . import search as search_mod
 from .params import VamanaBuildParameters, VamanaSearchParameters
 
 SLOT_EMPTY, SLOT_VALID, SLOT_DELETED = 0, 1, 2
+
+
+def dataclasses_asdict(obj):
+    import dataclasses as _dc
+    return _dc.asdict(obj)
 
 
 @partial(jax.jit, static_argnames=("prune_to", "alpha", "distance",
@@ -115,7 +121,7 @@ class MutableVamanaIndex:
         # the graph out to the blocked capacity
         graph, entry = build_mod.build_graph(
             self.data, self.parameters, self.distance, logger=self.logger,
-            pop_width=1)
+            pop_width=2)
         self.graph = graph.with_capacity(cap)
         self.entry_point = entry
 
@@ -342,6 +348,89 @@ class MutableVamanaIndex:
             new_status == SLOT_DELETED)
         self.translator.remap({int(o): int(old_to_new[o]) for o in alive})
         self._reset_entry_point()
+
+    # -- distance + persistence ---------------------------------------------
+    def get_distance(self, external_id: int, query) -> float:
+        """Distance between one live entry and a query (reference
+        dynamic_vamana.h:55)."""
+        slot = int(self.translator.to_internal([external_id])[0])
+        vec = np.asarray(self.data.get_f32(jnp.asarray([slot])))[0,
+                                                                 :self.data.dim]
+        q = np.asarray(query, dtype=np.float32).reshape(-1)
+        if q.shape[0] != self.data.dim:
+            raise ValueError(f"query dim {q.shape[0]} != {self.data.dim}")
+        from ...ops.distance import DistanceType
+        if self.distance == DistanceType.L2:
+            return float(((q - vec) ** 2).sum())
+        ip = float(q @ vec)
+        if self.distance == DistanceType.MIP:
+            return ip
+        return ip / max(float(np.linalg.norm(q) * np.linalg.norm(vec)),
+                        1e-30)
+
+    SCHEMA = "dynamic_vamana_index_parameters"
+    VERSION = saveload.Version(0, 0, 1)
+
+    def save(self, config_dir: str) -> None:
+        """Persist index + slot state + translation (the reference requires
+        consolidation before saving, dynamic_index.h:270 comment; we save
+        the deleted mask instead so any state is saveable)."""
+        import json, os
+        os.makedirs(config_dir, exist_ok=True)
+        saveload.save_to_disk(self.data, os.path.join(config_dir, "data"))
+        saveload.save_to_disk(self.graph, os.path.join(config_dir, "graph"))
+        ctx = saveload.SaveContext(config_dir)
+        high = self._high_water
+        ext = self.translator.to_external(np.arange(high))
+        table = saveload.save_table(self.SCHEMA, self.VERSION, {
+            "distance": self.distance.value,
+            "entry_point": int(self.entry_point),
+            "status": ctx.save_array(self.status[:high]),
+            "external_ids": ctx.save_array(ext),
+            "build_parameters": dataclasses_asdict(self.parameters),
+        })
+        with open(os.path.join(config_dir, "dynamic_vamana_config.json"),
+                  "w") as f:
+            json.dump(table, f, indent=2)
+
+    @classmethod
+    def assemble(cls, config_dir: str, **kwargs) -> "MutableVamanaIndex":
+        import json, os
+        with open(os.path.join(config_dir,
+                               "dynamic_vamana_config.json")) as f:
+            table = json.load(f)
+        saveload.check_table(table, cls.SCHEMA, cls.VERSION)
+        ctx = saveload.LoadContext(config_dir)
+        from ...core.loading import dispatch_load
+        data = dispatch_load(os.path.join(config_dir, "data"))
+        graph = saveload.load_from_disk(
+            NeighborGraph, os.path.join(config_dir, "graph"))
+        status = ctx.load_array(table["status"])
+        ext = ctx.load_array(table["external_ids"])
+        params = VamanaBuildParameters(**{
+            k: v for k, v in table["build_parameters"].items()
+            if k in {f.name for f in __import__("dataclasses").fields(
+                VamanaBuildParameters)}})
+        obj = cls.__new__(cls)
+        obj.distance = dist_ops.as_distance(table["distance"])
+        obj.parameters = params
+        obj.logger = svs_logging.as_logger(kwargs.get("logger"))
+        obj.query_batch_size = kwargs.get("query_batch_size", 2048)
+        obj.pop_width = kwargs.get("pop_width", 4)
+        cap = data.capacity
+        obj.data = data
+        obj.graph = graph.with_capacity(cap)
+        obj.status = np.zeros(cap, dtype=np.int8)
+        obj.status[: status.shape[0]] = status
+        obj.deleted_mask = jnp.asarray(obj.status == SLOT_DELETED)
+        obj.translator = IDTranslator(cap)
+        live = np.nonzero((status == SLOT_VALID)
+                          | (status == SLOT_DELETED))[0]
+        valid_live = live[status[live] == SLOT_VALID]
+        obj.translator.insert(ext[valid_live], valid_live)
+        obj.entry_point = int(table["entry_point"])
+        obj._search_parameters = VamanaSearchParameters()
+        return obj
 
     def _reset_entry_point(self) -> None:
         alive = np.nonzero(self.status == SLOT_VALID)[0]

@@ -37,6 +37,39 @@ from .params import (SearchBufferConfig, VamanaBuildParameters,
 CONFIG_FILENAME = "vamana_config.json"
 
 
+def saveload_pack_tree(directory: str, stream) -> None:
+    """Pack a nested checkpoint tree (config + graph/ + data/) as one
+    archive stream."""
+    import io
+    entries = {}
+    for root, _dirs, files in os.walk(directory):
+        for name in files:
+            path = os.path.join(root, name)
+            rel = os.path.relpath(path, directory)
+            with open(path, "rb") as f:
+                entries[rel] = f.read()
+    header = json.dumps({"archive": "svs_tpu_tree", "version": "v0.0.1",
+                         "files": [{"name": k, "size": len(v)}
+                                   for k, v in sorted(entries.items())]}
+                        ).encode()
+    stream.write(len(header).to_bytes(8, "little"))
+    stream.write(header)
+    for k in sorted(entries):
+        stream.write(entries[k])
+
+
+def saveload_unpack_tree(stream, directory: str) -> None:
+    header_len = int.from_bytes(stream.read(8), "little")
+    header = json.loads(stream.read(header_len))
+    if header.get("archive") != "svs_tpu_tree":
+        raise ValueError("not an svs_tpu tree archive")
+    for entry in header["files"]:
+        path = os.path.join(directory, entry["name"])
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(stream.read(entry["size"]))
+
+
 class VamanaIndex:
     """Static (non-mutable) Vamana graph index."""
 
@@ -192,6 +225,22 @@ class VamanaIndex:
         })
         with open(os.path.join(config_dir, CONFIG_FILENAME), "w") as f:
             json.dump(table, f, indent=2)
+
+    def save_stream(self, stream) -> None:
+        """Single-stream archive save (reference vamana.h:457-535 packs a
+        DirectoryArchiver archive)."""
+        import tempfile
+        with tempfile.TemporaryDirectory() as tmp:
+            self.save(tmp)
+            # flatten: config + graph/ + data/ into one archive of the tree
+            saveload_pack_tree(tmp, stream)
+
+    @classmethod
+    def assemble_stream(cls, stream, **kwargs) -> "VamanaIndex":
+        import tempfile
+        with tempfile.TemporaryDirectory() as tmp:
+            saveload_unpack_tree(stream, tmp)
+            return cls.assemble(tmp, **kwargs)
 
     @classmethod
     def assemble(cls, config_dir: str, graph_dir: Optional[str] = None,

@@ -83,6 +83,17 @@ class DynamicVamana:
     def alpha(self) -> float:
         return self._index.parameters.alpha
 
+    def get_distance(self, external_id: int, query) -> float:
+        return self._index.get_distance(external_id, query)
+
+    def save(self, config_dir: str) -> None:
+        self._index.save(config_dir)
+
+    @staticmethod
+    def assemble(config_dir: str, **kwargs) -> "DynamicVamana":
+        return DynamicVamana(MutableVamanaIndex.assemble(config_dir,
+                                                         **kwargs))
+
     @property
     def index(self) -> MutableVamanaIndex:
         return self._index

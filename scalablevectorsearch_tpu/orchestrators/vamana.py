@@ -95,6 +95,32 @@ class Vamana:
              data_dir: Optional[str] = None) -> None:
         self._index.save(config_dir, graph_dir, data_dir)
 
+    def save_stream(self, stream) -> None:
+        """(reference vamana.h:457 stream save)"""
+        self._index.save_stream(stream)
+
+    @staticmethod
+    def assemble_stream(stream, **kwargs) -> "Vamana":
+        return Vamana(VamanaIndex.assemble_stream(stream, **kwargs))
+
+    def get_distance(self, internal_id: int, query) -> float:
+        """Distance between a stored vector and a query (reference
+        vamana.h:671)."""
+        import numpy as np
+        from ..ops.distance import DistanceType
+        vec = self._index.reconstruct_at([internal_id])[0]
+        q = np.asarray(query, dtype=np.float32).reshape(-1)
+        if q.shape[0] != self._index.data.dim:
+            raise ValueError(
+                f"query dim {q.shape[0]} != {self._index.data.dim}")
+        if self._index.distance == DistanceType.L2:
+            return float(((q - vec) ** 2).sum())
+        ip = float(q @ vec)
+        if self._index.distance == DistanceType.MIP:
+            return ip
+        return ip / max(float(np.linalg.norm(q) * np.linalg.norm(vec)),
+                        1e-30)
+
     @property
     def index(self) -> VamanaIndex:
         return self._index

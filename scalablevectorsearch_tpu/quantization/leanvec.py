@@ -1,0 +1,193 @@
+"""LeanVec-style dimensionality-reduced search with reranking.
+
+The reference ships LeanVec ([TBAH24]: PCA-style dimensionality reduction for
+the graph-search primary + full-precision secondary reranking) only behind
+its closed-source runtime ABI (``StorageKind::LeanVec*``,
+``bindings/cpp/include/svs/runtime/api_defs.h:98-109``;
+``LeanVecTrainingData`` training.h:28-71).  This is an open TPU-native
+equivalent:
+
+* **train**: mean-center a sample, take the top ``target_dim`` right singular
+  vectors (exact eigendecomposition of the d x d covariance — d is small);
+* **primary**: LVQ-compressed projected vectors — graph search runs in the
+  reduced space (fewer HBM bytes per gather, fewer MACs per distance);
+* **secondary**: LVQ-compressed full-dimensional vectors used to re-score
+  the top ``rerank_multiplier * k`` candidates.
+
+``LeanVecVamana`` wraps a Vamana index over the primary with query projection
++ reranking at the search boundary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.query_result import QueryResult
+from ..lib import saveload
+from ..ops import distance as dist_ops
+from ..ops import topk as topk_ops
+from .lvq import LVQDataset
+
+
+@dataclasses.dataclass
+class LeanVecDataset:
+    """Projection + primary (reduced) + secondary (full) datasets."""
+
+    mean: np.ndarray          # (d,)
+    projection: np.ndarray    # (d, d') orthonormal columns
+    primary: LVQDataset       # over projected vectors (n, d')
+    secondary: LVQDataset     # over full vectors (n, d)
+
+    @classmethod
+    def train(cls, x, target_dim: Optional[int] = None,
+              training_sample: int = 100_000, seed: int = 0
+              ) -> "LeanVecDataset":
+        x = np.asarray(x, dtype=np.float32)
+        n, d = x.shape
+        target_dim = target_dim or max(d // 2, 8)
+        if target_dim > d:
+            raise ValueError(f"target_dim {target_dim} > dim {d}")
+        rng = np.random.default_rng(seed)
+        sample = x[rng.choice(n, size=min(n, training_sample),
+                              replace=False)] if n > training_sample else x
+        mean = sample.mean(axis=0)
+        centered = (sample - mean).astype(np.float64)
+        cov = centered.T @ centered / centered.shape[0]
+        eigvals, eigvecs = np.linalg.eigh(cov)
+        projection = eigvecs[:, ::-1][:, :target_dim].astype(np.float32)
+        projected = (x - mean) @ projection
+        return cls(mean=mean.astype(np.float32), projection=projection,
+                   primary=LVQDataset.compress(projected),
+                   secondary=LVQDataset.compress(x))
+
+    @property
+    def n(self) -> int:
+        return self.primary.n
+
+    @property
+    def dim(self) -> int:
+        return self.secondary.dim
+
+    @property
+    def reduced_dim(self) -> int:
+        return self.primary.dim
+
+    def project_queries(self, queries: np.ndarray) -> np.ndarray:
+        q = np.asarray(queries, dtype=np.float32)
+        return (q - self.mean) @ self.projection
+
+    # -- persistence -----------------------------------------------------------
+    SCHEMA = "leanvec_dataset"
+    VERSION = saveload.Version(0, 0, 1)
+
+    def save_to(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        saveload.save_to_disk(self.primary,
+                              os.path.join(directory, "primary"))
+        saveload.save_to_disk(self.secondary,
+                              os.path.join(directory, "secondary"))
+        ctx = saveload.SaveContext(directory)
+        table = saveload.save_table(self.SCHEMA, self.VERSION, {
+            "mean": ctx.save_array(self.mean),
+            "projection": ctx.save_array(self.projection),
+        })
+        with open(os.path.join(directory, "leanvec_config.json"), "w") as f:
+            json.dump(table, f, indent=2)
+
+    @classmethod
+    def load_from(cls, directory: str) -> "LeanVecDataset":
+        with open(os.path.join(directory, "leanvec_config.json")) as f:
+            table = json.load(f)
+        saveload.check_table(table, cls.SCHEMA, cls.VERSION)
+        ctx = saveload.LoadContext(directory)
+        from ..core.loading import dispatch_load
+        return cls(mean=ctx.load_array(table["mean"]),
+                   projection=ctx.load_array(table["projection"]),
+                   primary=dispatch_load(os.path.join(directory, "primary")),
+                   secondary=dispatch_load(
+                       os.path.join(directory, "secondary")))
+
+
+class LeanVecVamana:
+    """Vamana over the reduced-dimension primary with full-dim reranking."""
+
+    def __init__(self, index, leanvec: LeanVecDataset,
+                 rerank_multiplier: int = 3):
+        self._index = index
+        self._leanvec = leanvec
+        self.rerank_multiplier = rerank_multiplier
+
+    @classmethod
+    def build(cls, parameters, data, distance, *,
+              target_dim: Optional[int] = None,
+              rerank_multiplier: int = 3, **kwargs) -> "LeanVecVamana":
+        from ..index.vamana.index import VamanaIndex
+        leanvec = data if isinstance(data, LeanVecDataset) else \
+            LeanVecDataset.train(data, target_dim=target_dim)
+        index = VamanaIndex.build(parameters, leanvec.primary, distance,
+                                  **kwargs)
+        return cls(index, leanvec, rerank_multiplier)
+
+    @property
+    def size(self) -> int:
+        return self._index.size
+
+    @property
+    def dimensions(self) -> int:
+        return self._leanvec.dim
+
+    @property
+    def search_window_size(self) -> int:
+        return self._index.search_window_size
+
+    @search_window_size.setter
+    def search_window_size(self, w: int) -> None:
+        self._index.search_window_size = w
+
+    def search(self, queries, k: int) -> QueryResult:
+        queries = np.asarray(queries)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        if queries.shape[1] != self._leanvec.dim:
+            raise ValueError(
+                f"query dim {queries.shape[1]} != {self._leanvec.dim}")
+        fetch = max(k * self.rerank_multiplier, k)
+        inner = self._index.search(self._leanvec.project_queries(queries),
+                                   fetch)
+        # rerank with the full-dimensional secondary
+        from ..index.ivf.index import rerank_kernel
+        from ..lib import datatypes as dt
+        sec = self._leanvec.secondary
+        qdev = jnp.asarray(dt.pad_matrix(
+            queries.astype(np.float32), n_pad=dt.pad_to(queries.shape[0], 8),
+            d_pad=sec.padded_dim))
+        cand = jnp.asarray(np.pad(
+            inner.ids, ((0, qdev.shape[0] - inner.ids.shape[0]), (0, 0)),
+            constant_values=-1).astype(np.int32))
+        keys, ids = rerank_kernel(sec, qdev, None, cand, k=k,
+                                  distance=self._index.distance)
+        nq = queries.shape[0]
+        return QueryResult(
+            ids=np.asarray(ids[:nq], dtype=np.int64),
+            distances=np.array(dist_ops.value_from_key(
+                self._index.distance, keys[:nq])))
+
+    def save(self, config_dir: str) -> None:
+        self._index.save(os.path.join(config_dir, "index"))
+        self._leanvec.save_to(os.path.join(config_dir, "leanvec"))
+
+    @classmethod
+    def assemble(cls, config_dir: str, rerank_multiplier: int = 3,
+                 **kwargs) -> "LeanVecVamana":
+        from ..index.vamana.index import VamanaIndex
+        index = VamanaIndex.assemble(os.path.join(config_dir, "index"),
+                                     **kwargs)
+        leanvec = LeanVecDataset.load_from(os.path.join(config_dir,
+                                                        "leanvec"))
+        return cls(index, leanvec, rerank_multiplier)

@@ -131,3 +131,31 @@ class TestDynamicOrchestrators:
         assert df.size == 118
         res = df.search(queries[:4], 3)
         assert 0 not in res.ids and 1 not in res.ids
+
+
+class TestDynamicPersistence:
+    def test_save_assemble_roundtrip(self, tmp_path, pool):
+        data, queries = pool
+        params = VamanaBuildParameters(graph_max_degree=16, window_size=32)
+        dv = DynamicVamana.build(params, data[:400], np.arange(400), "l2")
+        dv.add_points(data[400:450], np.arange(400, 450))
+        dv.delete_points(np.arange(5))
+        dv.save(str(tmp_path / "dyn"))
+        dv2 = DynamicVamana.assemble(str(tmp_path / "dyn"))
+        assert dv2.size == dv.size
+        np.testing.assert_array_equal(dv2.all_ids(), dv.all_ids())
+        a = dv.search(queries[:8], 5)
+        b = dv2.search(queries[:8], 5)
+        np.testing.assert_array_equal(a.ids, b.ids)
+        # mutations continue to work after reload
+        dv2.add_points(data[450:460], np.arange(450, 460))
+        assert dv2.size == dv.size + 10
+
+    def test_get_distance_external(self, pool):
+        data, queries = pool
+        params = VamanaBuildParameters(graph_max_degree=16, window_size=32)
+        dv = DynamicVamana.build(params, data[:100], np.arange(100) + 500,
+                                 "l2")
+        d = dv.get_distance(503, queries[0])
+        want = ((queries[0] - data[3]) ** 2).sum()
+        assert abs(d - want) / want < 1e-4

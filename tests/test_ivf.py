@@ -142,3 +142,88 @@ class TestIVFOrchestrator:
         ivf2.n_probes = 8
         res2 = ivf2.search(queries[:10], 5)
         np.testing.assert_array_equal(res.ids, res2.ids)
+
+
+class TestDynamicIVF:
+    def test_mutation_lifecycle(self, clustered):
+        from scalablevectorsearch_tpu.index.ivf.dynamic import DynamicIVF
+        from scalablevectorsearch_tpu.utils.dynamic_helper import (
+            ReferenceDataset)
+        data, queries = clustered
+        ref = ReferenceDataset(data, seed=5)
+        pts, ids = ref.new_batch(2000)
+        params = IVFBuildParameters(num_centroids=32, num_iterations=4,
+                                    training_fraction=0.5,
+                                    is_hierarchical=False)
+        div = DynamicIVF.build(params, pts, ids, "l2")
+        assert div.size == 2000
+
+        def check(floor):
+            res = div.search(queries, 10)
+            ref.check_ids(res)
+            gt = ref.groundtruth(queries, 10)
+            from scalablevectorsearch_tpu.core.recall import k_recall_at_n
+            rec = k_recall_at_n(gt, res)
+            assert rec >= floor, rec
+
+        div._index.search(queries, 10,
+                          IVFSearchParameters(n_probes=32))  # full probe
+        for _ in range(2):
+            pts, ids = ref.new_batch(300)
+            div.add_points(pts, ids)
+            dead = ref.delete_batch(200)
+            div.delete_points(dead)
+            # full-probe search over a mutated index must stay exact-ish
+            res = div._index.search(queries, 10,
+                                    IVFSearchParameters(n_probes=32))
+            ref.check_ids(res)
+            gt = ref.groundtruth(queries, 10)
+            from scalablevectorsearch_tpu.core.recall import k_recall_at_n
+            assert k_recall_at_n(gt, res) >= 0.99
+        assert div.size == len(ref.live)
+        div.compact()
+        res = div._index.search(queries, 10,
+                                IVFSearchParameters(n_probes=32))
+        ref.check_ids(res)
+
+    def test_regrow_on_cluster_overflow(self, rng):
+        from scalablevectorsearch_tpu.index.ivf.dynamic import DynamicIVF
+        x = rng.normal(size=(200, 16)).astype(np.float32)
+        params = IVFBuildParameters(num_centroids=4, num_iterations=3,
+                                    training_fraction=1.0,
+                                    is_hierarchical=False)
+        div = DynamicIVF.build(params, x, np.arange(200), "l2")
+        slot_before = div._index.slot
+        # add many near-identical points -> all land in one cluster
+        burst = (x[0] + rng.normal(scale=0.01, size=(3 * slot_before, 16))
+                 ).astype(np.float32)
+        div.add_points(burst, np.arange(1000, 1000 + burst.shape[0]))
+        assert div._index.slot > slot_before
+        assert div.size == 200 + burst.shape[0]
+        res = div.search(x[:1], 5)
+        assert (res.ids >= 0).all()
+
+
+class TestIVFIterator:
+    def test_paged_disjoint(self, clustered):
+        from scalablevectorsearch_tpu.index.ivf.iterator import (
+            IVFBatchIterator)
+        data, queries = clustered
+        params = IVFBuildParameters(num_centroids=32, num_iterations=4,
+                                    training_fraction=0.5,
+                                    is_hierarchical=False)
+        index = IVFIndex.build(params, data, "l2")
+        it = IVFBatchIterator(index, queries[0], batch_size=8)
+        seen = set()
+        for _ in range(3):
+            res = it.next()
+            ids = res.ids[0][res.ids[0] >= 0]
+            assert not (set(ids.tolist()) & seen)
+            seen.update(ids.tolist())
+        assert len(seen) == 24
+        gt = svt.exhaustive_search(data, queries[:1], 8)
+        it.restart()
+        first = it.next()
+        overlap = len(set(first.ids[0].tolist())
+                      & set(gt.ids[0].tolist()))
+        assert overlap >= 5

@@ -94,3 +94,49 @@ class TestLVQDataset:
         lvq2 = dispatch_load(str(tmp_path / "lvq"))
         assert isinstance(lvq2, LVQDataset)
         np.testing.assert_allclose(lvq2.to_numpy(), lvq.to_numpy(), atol=1e-6)
+
+
+class TestLeanVec:
+    def test_projection_preserves_neighbors(self, rng):
+        from scalablevectorsearch_tpu.quantization.leanvec import (
+            LeanVecDataset)
+        # anisotropic data: energy concentrated in a few directions
+        basis = rng.normal(size=(48, 48)).astype(np.float32)
+        scales = np.geomspace(10, 0.1, 48).astype(np.float32)
+        x = (rng.normal(size=(2000, 48)).astype(np.float32) * scales) @ basis
+        lv = LeanVecDataset.train(x, target_dim=16)
+        assert lv.reduced_dim == 16 and lv.dim == 48
+        # orthonormal projection
+        ident = lv.projection.T @ lv.projection
+        np.testing.assert_allclose(ident, np.eye(16), atol=1e-4)
+
+    def test_leanvec_vamana_recall(self, rng):
+        """On anisotropic data (LeanVec's target regime) reduced-dim search
+        + rerank must stay close to full-dim recall."""
+        from scalablevectorsearch_tpu.quantization.leanvec import (
+            LeanVecVamana)
+        basis = np.linalg.qr(rng.normal(size=(48, 48)))[0].astype(np.float32)
+        scales = np.geomspace(20, 0.05, 48).astype(np.float32)
+        data = ((rng.normal(size=(2000, 48)) * scales) @ basis
+                ).astype(np.float32)
+        queries = ((rng.normal(size=(100, 48)) * scales) @ basis
+                   ).astype(np.float32)
+        params = VamanaBuildParameters(graph_max_degree=24, window_size=48)
+        lvv = LeanVecVamana.build(params, data, "l2", target_dim=16,
+                                  rerank_multiplier=3)
+        lvv.search_window_size = 40
+        gt = svt.exhaustive_search(data, queries, 10)
+        rec = svt.k_recall_at_n(gt, lvv.search(queries, 10))
+        assert rec >= 0.9, rec
+
+    def test_leanvec_save_assemble(self, tmp_path, small_dataset):
+        from scalablevectorsearch_tpu.quantization.leanvec import (
+            LeanVecVamana)
+        data, queries = small_dataset
+        params = VamanaBuildParameters(graph_max_degree=16, window_size=32)
+        lvv = LeanVecVamana.build(params, data[:500], "l2", target_dim=24)
+        lvv.save(str(tmp_path / "lv"))
+        lvv2 = LeanVecVamana.assemble(str(tmp_path / "lv"))
+        a = lvv.search(queries[:8], 5)
+        b = lvv2.search(queries[:8], 5)
+        np.testing.assert_array_equal(a.ids, b.ids)

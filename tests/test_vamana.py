@@ -168,3 +168,24 @@ class TestVamanaPersistence:
         r1 = v.search(queries[:8], 5)
         r2 = v2.search(queries[:8], 5)
         np.testing.assert_array_equal(r1.ids, r2.ids)
+
+
+class TestStreamAndDistance:
+    def test_stream_roundtrip(self, tmp_path, built_index, small_dataset):
+        import io
+        data, queries = small_dataset
+        from scalablevectorsearch_tpu.index.vamana.index import VamanaIndex
+        buf = io.BytesIO()
+        built_index.save_stream(buf)
+        buf.seek(0)
+        loaded = VamanaIndex.assemble_stream(buf)
+        a = built_index.search(queries[:8], 5)
+        b = loaded.search(queries[:8], 5)
+        np.testing.assert_array_equal(a.ids, b.ids)
+
+    def test_get_distance(self, built_index, small_dataset):
+        data, queries = small_dataset
+        v = Vamana(built_index)
+        d = v.get_distance(7, queries[0])
+        want = ((queries[0] - data[7]) ** 2).sum()
+        assert abs(d - want) / want < 1e-4
