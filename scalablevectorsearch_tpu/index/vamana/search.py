@@ -114,12 +114,14 @@ def greedy_search(graph: NeighborGraph,
     q_norms = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)
 
     def score(ids: jax.Array) -> jax.Array:
-        """(B, K) ids -> (B, K) keys with +inf for invalid ids."""
+        """(B, K) ids -> (B, K) keys with +inf for invalid ids.
+
+        Candidate norms are recomputed from the gathered rows rather than
+        gathered from the norm cache — one fused VPU reduction replaces a
+        second HBM gather op."""
         clamped = jnp.maximum(ids, 0)
         vecs = data.get(clamped)
-        norms = jnp.take(data.norms_sq, clamped, axis=0, mode="clip")
         keys = dist_ops.gathered_keys(distance, queries, vecs,
-                                      gathered_norms_sq=norms,
                                       query_norms_sq=q_norms)
         in_range = (ids >= 0) & (ids < data.n)
         return jnp.where(in_range, keys, jnp.inf)
@@ -137,6 +139,9 @@ def greedy_search(graph: NeighborGraph,
         if pad >= 0 else entry_keys[:, :c]
     beam_keys, beam_ids = topk_ops.sort_by_key(beam_keys, beam_ids)
     beam_vis = jnp.zeros((b, c), dtype=jnp.int32)
+    # ids are packed with the visited flag in bit 30 during the merge sort
+    # (one sort operand instead of two); graph ids must stay below 2^30.
+    VIS_BIT = jnp.int32(1 << 30)
 
     track = pool_size > 0
     p = pool_size if track else 0
@@ -191,18 +196,20 @@ def greedy_search(graph: NeighborGraph,
             pool_keys, pool_ids = topk_ops.merge_smallest(
                 pool_keys, pool_ids, cand_keys, nbrs, p)
 
-        # beam dedup + sort-merge insert
+        # beam dedup + sort-merge insert (ids packed with visited flag)
         cand_keys = topk_ops.mask_duplicate_ids(cand_keys, nbrs, beam_ids)
         all_keys = jnp.concatenate([beam_keys, cand_keys], axis=1)
-        all_ids = jnp.concatenate([beam_ids, nbrs], axis=1)
-        all_vis = jnp.concatenate(
-            [beam_vis, jnp.zeros_like(nbrs)], axis=1)
-        s_keys, s_ids, s_vis = jax.lax.sort(
-            (all_keys, all_ids, all_vis), dimension=-1, num_keys=1)
+        packed = jnp.concatenate(
+            [beam_ids + beam_vis * VIS_BIT, nbrs], axis=1)
+        s_keys, s_packed = jax.lax.sort(
+            (all_keys, packed), dimension=-1, num_keys=1)
         keep = jnp.any(has, axis=1)[:, None]
-        beam_ids = jnp.where(keep, s_ids[:, :c], beam_ids)
+        new_packed = s_packed[:, :c]
+        # invalid (-1) entries unpack to garbage, but their keys stay +inf so
+        # every consumer masks them; final extraction restores -1.
+        beam_ids = jnp.where(keep, new_packed & (VIS_BIT - 1), beam_ids)
+        beam_vis = jnp.where(keep, new_packed >> 30, beam_vis)
         beam_keys = jnp.where(keep, s_keys[:, :c], beam_keys)
-        beam_vis = jnp.where(keep, s_vis[:, :c], beam_vis)
         return (it + 1, beam_ids, beam_keys, beam_vis, n_pops,
                 pool_ids, pool_keys)
 
