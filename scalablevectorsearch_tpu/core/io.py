@@ -88,6 +88,53 @@ def write_vecs(path: str, data: np.ndarray, dtype=None) -> None:
     out.tofile(path)
 
 
+# ---------------------------------------------------------------------------
+# Reference-native ``.svs`` V1 binary format (migration convenience).
+# Layout (reference include/svs/core/io/native.h V1 header): 64-byte header =
+# u64 magic, u64 num_vectors, u64 dims, 16-byte UUID, zero padding; then the
+# row-major payload.  The element type lives in the sidecar TOML config in
+# the reference's directory layout, so readers must supply it.
+# ---------------------------------------------------------------------------
+
+SVS_V1_MAGIC = 0xCAD4A6B2579980FE
+SVS_V1_HEADER_SIZE = 64
+
+
+def read_svs(path: str, dtype=np.float32) -> np.ndarray:
+    """Read a reference-format ``.svs`` V1 binary data file."""
+    dt = np.dtype(dtype)
+    with open(path, "rb") as f:
+        header = f.read(SVS_V1_HEADER_SIZE)
+        if len(header) < SVS_V1_HEADER_SIZE:
+            raise ValueError(f"{path}: truncated svs header")
+        magic, n, dim = (int(v) for v in
+                         np.frombuffer(header[:24], dtype="<u8"))
+        if magic != SVS_V1_MAGIC:
+            raise ValueError(
+                f"{path}: bad svs magic 0x{magic:x} (not a V1 file)")
+        expected = n * dim * dt.itemsize
+        actual = os.path.getsize(path) - SVS_V1_HEADER_SIZE
+        if expected != actual:
+            raise ValueError(
+                f"{path}: header claims {n}x{dim} {dt} ({expected} bytes) "
+                f"but payload is {actual} bytes")
+        payload = np.fromfile(f, dtype=dt, count=n * dim)
+    return payload.reshape(n, dim)
+
+
+def write_svs(path: str, data: np.ndarray) -> None:
+    """Write a reference-compatible ``.svs`` V1 binary data file."""
+    data = np.ascontiguousarray(data)
+    import uuid as _uuid
+    header = np.zeros(SVS_V1_HEADER_SIZE, dtype=np.uint8)
+    header[:24] = np.array([SVS_V1_MAGIC, data.shape[0], data.shape[1]],
+                           dtype="<u8").view(np.uint8)
+    header[24:40] = np.frombuffer(_uuid.uuid4().bytes, dtype=np.uint8)
+    with open(path, "wb") as f:
+        header.tofile(f)
+        data.tofile(f)
+
+
 def read_npy(path: str) -> np.ndarray:
     return np.load(path)
 
@@ -97,9 +144,11 @@ def write_npy(path: str, data: np.ndarray) -> None:
 
 
 def read_any(path: str, dtype=None) -> np.ndarray:
-    """Dispatch on extension: .npy or any of the *vecs formats."""
+    """Dispatch on extension: .npy, .svs, or any of the *vecs formats."""
     if path.endswith(".npy"):
         return read_npy(path)
+    if path.endswith(".svs"):
+        return read_svs(path, dtype=dtype or np.float32)
     return read_vecs(path, dtype=dtype)
 
 

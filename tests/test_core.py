@@ -194,3 +194,26 @@ class TestKMeans:
             labels = assign[i * 50:(i + 1) * 50]
             assert len(np.unique(labels)) == 1
         assert len(np.unique(assign)) == 3
+
+
+class TestSvsNativeFormat:
+    def test_roundtrip(self, tmp_path, rng):
+        x = rng.normal(size=(20, 7)).astype(np.float32)
+        path = str(tmp_path / "d.svs")
+        svio.write_svs(path, x)
+        np.testing.assert_array_equal(svio.read_svs(path), x)
+        np.testing.assert_array_equal(svio.read_any(path), x)
+
+    def test_bad_magic(self, tmp_path):
+        path = str(tmp_path / "bad.svs")
+        with open(path, "wb") as f:
+            f.write(b"\x00" * 64)
+        with pytest.raises(ValueError):
+            svio.read_svs(path)
+
+    def test_size_mismatch(self, tmp_path, rng):
+        x = rng.normal(size=(4, 4)).astype(np.float32)
+        path = str(tmp_path / "t.svs")
+        svio.write_svs(path, x)
+        with pytest.raises(ValueError):
+            svio.read_svs(path, dtype=np.float64)  # wrong itemsize
