@@ -274,6 +274,7 @@ def build_graph(data: VectorDataset,
                 prune_chunk: int = 256,
                 pop_width: int = 2,
                 prune_pool: int = 0,
+                first_pass_window: Optional[int] = None,
                 logger=None,
                 timer: Optional[timing.Timer] = None,
                 ) -> Tuple[NeighborGraph, int]:
@@ -281,6 +282,10 @@ def build_graph(data: VectorDataset,
 
     Follows the reference's auto_build pipeline (index.h:945-971): medioid
     entry point, two construct passes (reverse-edge alphas 1.0 then alpha).
+
+    ``first_pass_window``: optional smaller search window for pass 1 — the
+    alpha=1.0 pass only lays down an initial graph that pass 2 rewires, so
+    a cheaper pass-1 search trades little quality for proportional time.
     """
     distance = dist_ops.as_distance(distance)
     params = params.resolved(distance)
@@ -296,17 +301,20 @@ def build_graph(data: VectorDataset,
 
     graph = NeighborGraph.empty(n, r)
     b = batch_size if batch_size is not None else default_batch_size(n)
-    window = params.window_size
-    capacity = window
-    max_iters = search_mod.default_max_iters(window)
     pool_size = params.max_candidate_pool_size
     num_batches = -(-n // b)
     pass_alphas = (1.0, float(params.alpha))
-    logger.info("vamana build: n=%d R=%d window=%d pool=%d batch=%d "
-                "(%d rounds/pass)", n, r, window, pool_size, b, num_batches)
+    pass_windows = (first_pass_window or params.window_size,
+                    params.window_size)
+    logger.info("vamana build: n=%d R=%d windows=%s pool=%d batch=%d "
+                "(%d rounds/pass)", n, r, pass_windows, pool_size, b,
+                num_batches)
 
     dropped_counts = []
     for pass_idx, rev_alpha in enumerate(pass_alphas):
+        window = pass_windows[pass_idx]
+        capacity = window
+        max_iters = search_mod.default_max_iters(window)
         with timer.scope(f"pass {pass_idx + 1}"):
             for batch_idx in range(num_batches):
                 start = batch_idx * b

@@ -105,6 +105,7 @@ class VamanaIndex:
               dtype=None,
               batch_size: Optional[int] = None,
               pop_width: int = 2,
+              first_pass_window: Optional[int] = None,
               timer: Optional[timing.Timer] = None,
               logger=None,
               **kwargs) -> "VamanaIndex":
@@ -117,7 +118,8 @@ class VamanaIndex:
         parameters = parameters.resolved(distance)
         graph, entry = build_mod.build_graph(
             data, parameters, distance, batch_size=batch_size,
-            pop_width=pop_width, timer=timer, logger=logger)
+            pop_width=pop_width, first_pass_window=first_pass_window,
+            timer=timer, logger=logger)
         return cls(graph, data, entry, distance,
                    build_parameters=parameters, logger=logger, **kwargs)
 
