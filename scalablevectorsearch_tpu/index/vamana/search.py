@@ -32,6 +32,7 @@ pool is sorted and resized to ``max_candidate_pool_size`` afterwards
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -113,16 +114,40 @@ def greedy_search(graph: NeighborGraph,
 
     q_norms = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)
 
+    # The Pallas single-pass scorer (ops/pallas/gather_distance.score_rows)
+    # beats the XLA lowering in isolation (1.5x) but measures *slower*
+    # inside this loop: consuming the gather with a pallas_call forces the
+    # (B, K, d) gather output to fully materialize, while XLA partially
+    # fuses the gather into the multiply chain.  Opt-in for experimentation
+    # (SVT_PALLAS_SCORE=1); see PERF.md.
+    use_pallas_score = (
+        jax.default_backend() == "tpu"
+        and _os.environ.get("SVT_PALLAS_SCORE")
+        and queries.shape[0] % 8 == 0)
+
     def score(ids: jax.Array) -> jax.Array:
         """(B, K) ids -> (B, K) keys with +inf for invalid ids.
 
         Candidate norms are recomputed from the gathered rows rather than
-        gathered from the norm cache — one fused VPU reduction replaces a
+        gathered from the norm cache — one fused reduction replaces a
         second HBM gather op."""
         clamped = jnp.maximum(ids, 0)
         vecs = data.get(clamped)
-        keys = dist_ops.gathered_keys(distance, queries, vecs,
-                                      query_norms_sq=q_norms)
+        if (use_pallas_score and vecs.dtype == jnp.float32
+                and ids.shape[1] >= 32):  # expansion-sized blocks only
+            from ...ops.pallas.gather_distance import score_rows
+            dots, x2 = score_rows(vecs, queries.astype(jnp.float32))
+            if distance == dist_ops.DistanceType.MIP:
+                keys = -dots
+            elif distance == dist_ops.DistanceType.L2:
+                keys = jnp.maximum(q_norms[:, None] - 2.0 * dots + x2, 0.0)
+            else:
+                denom = jnp.sqrt(jnp.maximum(q_norms[:, None], 1e-30)) * \
+                    jnp.sqrt(jnp.maximum(x2, 1e-30))
+                keys = -dots / denom
+        else:
+            keys = dist_ops.gathered_keys(distance, queries, vecs,
+                                          query_norms_sq=q_norms)
         in_range = (ids >= 0) & (ids < data.n)
         return jnp.where(in_range, keys, jnp.inf)
 

@@ -25,6 +25,59 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _score_kernel(q_ref, rows_ref, dots_ref, x2_ref):
+    """Single-pass scoring of pre-gathered rows.
+
+    q_ref: (TB, d) VMEM; rows_ref: (TB, K, d) VMEM (pipelined per grid
+    block); emits both reductions every metric needs: <q, x> and ||x||^2.
+    """
+    rows = rows_ref[:]                                  # (TB, K, d)
+    q = q_ref[:]                                        # (TB, d)
+    dots_ref[:] = jnp.sum(rows * q[:, None, :], axis=-1)
+    x2_ref[:] = jnp.sum(rows * rows, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def score_rows(rows: jax.Array, queries: jax.Array, *, tile_b: int = 8,
+               interpret: bool = False):
+    """(dots, x2) for pre-gathered candidate rows in one VMEM pass.
+
+    ``rows`` (B, K, d) f32 (from an XLA gather), ``queries`` (B, d) f32 ->
+    ((B, K) <q,x>, (B, K) ||x||^2).
+
+    Rationale (PERF.md): XLA materializes (B, K, d) intermediates for the
+    batched matvec + the norm reduction, tripling HBM traffic over the
+    gathered bytes; this kernel streams each (TB, K, d) block through VMEM
+    once (BlockSpec-pipelined DMA), measured ~1.5x the XLA lowering on the
+    serving shapes and exact in f32.
+    """
+    b, k, d = rows.shape
+    assert b % tile_b == 0, f"batch {b} not a multiple of tile_b {tile_b}"
+    return pl.pallas_call(
+        _score_kernel,
+        grid=(b // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, k, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((tile_b, k), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((tile_b, k), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b, k), jnp.float32),
+                   jax.ShapeDtypeStruct((b, k), jnp.float32)),
+        interpret=interpret,
+    )(queries, rows)
+
+
+def score_rows_l2_partial(rows: jax.Array, queries: jax.Array, **kw):
+    """Convenience: ``||x||^2 - 2 <q, x>`` via :func:`score_rows`."""
+    dots, x2 = score_rows(rows, queries, **kw)
+    return x2 - 2.0 * dots
+
+
 def _kernel(ids_ref, q_ref, x_hbm, out_ref, rows, sems):
     """Grid program: one tile of TB queries; K candidate rows per query.
 
