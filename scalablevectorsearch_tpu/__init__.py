@@ -51,10 +51,6 @@ __all__ = [
 ]
 
 
-def _register_lazy():
-    """Late imports for heavier submodules (vamana/ivf) are added to the
-    package namespace by the modules themselves as they land."""
-
 
 try:  # Vamana family (index + orchestrator API)
     from .index.vamana.index import VamanaIndex  # noqa: F401

@@ -15,6 +15,8 @@ validated against its output.
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 from functools import partial
 from typing import Optional
 
@@ -150,14 +152,12 @@ class FlatIndex:
         table = saveload.save_table(self.SCHEMA, self.VERSION, {
             "distance": self.distance.value,
         })
-        import json, os
         with open(os.path.join(config_dir, "flat_config.json"), "w") as f:
             json.dump(table, f, indent=2)
 
     @classmethod
     def assemble(cls, config_dir: str, data_dir: Optional[str] = None,
                  **kwargs) -> "FlatIndex":
-        import json, os
         data_dir = data_dir or config_dir
         with open(os.path.join(config_dir, "flat_config.json")) as f:
             table = json.load(f)

@@ -46,11 +46,6 @@ from .params import VamanaBuildParameters, VamanaSearchParameters
 SLOT_EMPTY, SLOT_VALID, SLOT_DELETED = 0, 1, 2
 
 
-def dataclasses_asdict(obj):
-    import dataclasses as _dc
-    return _dc.asdict(obj)
-
-
 @partial(jax.jit, static_argnames=("prune_to", "alpha", "distance",
                                    "max_degree", "prune_chunk", "pool_cap"))
 def consolidate_round(graph: NeighborGraph, data: VectorDataset,
@@ -264,7 +259,8 @@ class MutableVamanaIndex:
         self.data = self.data.scatter_rows(
             jnp.asarray(slots), rows, new_n=max(high, high + n_new))
         self.graph = self.graph.clear_rows(jnp.asarray(slots))
-        self.graph = dataclassreplace_n(self.graph, self.data.n)
+        import dataclasses as _dc
+        self.graph = _dc.replace(self.graph, n=self.data.n)
         self.status[slots] = SLOT_VALID
         self.deleted_mask = self.deleted_mask.at[jnp.asarray(slots)].set(False)
         self._build_over(slots)
@@ -387,7 +383,8 @@ class MutableVamanaIndex:
             "entry_point": int(self.entry_point),
             "status": ctx.save_array(self.status[:high]),
             "external_ids": ctx.save_array(ext),
-            "build_parameters": dataclasses_asdict(self.parameters),
+            "build_parameters": __import__("dataclasses").asdict(
+                self.parameters),
         })
         with open(os.path.join(config_dir, "dynamic_vamana_config.json"),
                   "w") as f:
@@ -447,11 +444,6 @@ class MutableVamanaIndex:
         self.entry_point = compute_medioid(masked)
         if self.status[self.entry_point] != SLOT_VALID:
             self.entry_point = int(alive[0])
-
-
-def dataclassreplace_n(graph: NeighborGraph, n: int) -> NeighborGraph:
-    import dataclasses as dc
-    return dc.replace(graph, n=n)
 
 
 @partial(jax.jit, static_argnames=("k",))
