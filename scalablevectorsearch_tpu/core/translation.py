@@ -3,9 +3,13 @@
 Analog of the reference's ``IDTranslator`` (``include/svs/core/translation.h:44``,
 ``insert`` at ``:100``).  Internal slot ids are dense array indices into the
 device-resident dataset/graph; external ids are arbitrary user int64s.  The
-map is host-side (numpy + dict) — translation happens at the API boundary, not
-inside compiled code, exactly where the reference does it
-(``dynamic_index.h:423-443`` translate_to_external after search).
+map is host-side and fully vectorized — a sorted external-id array with
+``np.searchsorted`` lookups forward, a dense slot->external array backward —
+so bulk inserts/removes are O(n log n) numpy ops, not per-element Python
+(the reference uses a robin-map hash table; at Deep-100M dynamic scale a
+Python dict per element would cost minutes per bulk add).  Translation
+happens at the API boundary, not inside compiled code, exactly where the
+reference does it (``dynamic_index.h:423-443`` translate_to_external).
 """
 
 from __future__ import annotations
@@ -15,42 +19,71 @@ import numpy as np
 
 class IDTranslator:
     def __init__(self, capacity: int = 0):
-        self._ext_to_int: dict[int, int] = {}
+        # externals, kept sorted; slots aligned with them
+        self._ext_sorted = np.empty(0, dtype=np.int64)
+        self._slot_for_ext = np.empty(0, dtype=np.int64)
         self._int_to_ext = np.full(max(capacity, 1), -1, dtype=np.int64)
 
     def __len__(self) -> int:
-        return len(self._ext_to_int)
+        return self._ext_sorted.size
 
     def __contains__(self, external_id: int) -> bool:
-        return int(external_id) in self._ext_to_int
+        e = np.int64(external_id)
+        pos = np.searchsorted(self._ext_sorted, e)
+        return bool(pos < self._ext_sorted.size and self._ext_sorted[pos] == e)
+
+    def _find(self, external_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Positions of ``external_ids`` in the sorted table + found mask."""
+        pos = np.searchsorted(self._ext_sorted, external_ids)
+        if self._ext_sorted.size == 0:
+            return pos, np.zeros(external_ids.shape, dtype=bool)
+        clipped = np.minimum(pos, self._ext_sorted.size - 1)
+        found = ((pos < self._ext_sorted.size)
+                 & (self._ext_sorted[clipped] == external_ids))
+        return pos, found
 
     def insert(self, external_ids, internal_slots) -> None:
         """Insert a batch of (external, internal) pairs; raises on duplicate
         external ids (reference behavior: translation.h:100 throws)."""
-        external_ids = np.asarray(external_ids, dtype=np.int64)
-        internal_slots = np.asarray(internal_slots, dtype=np.int64)
-        for ext in external_ids:
-            if int(ext) in self._ext_to_int:
-                raise ValueError(f"external id {int(ext)} already present")
+        external_ids = np.asarray(external_ids, dtype=np.int64).ravel()
+        internal_slots = np.asarray(internal_slots, dtype=np.int64).ravel()
+        if external_ids.size == 0:
+            return
+        order = np.argsort(external_ids, kind="stable")
+        se, ss = external_ids[order], internal_slots[order]
+        if np.any(se[1:] == se[:-1]):
+            dup = se[1:][se[1:] == se[:-1]][0]
+            raise ValueError(f"external id {int(dup)} duplicated in batch")
+        pos, found = self._find(se)
+        if np.any(found):
+            raise ValueError(
+                f"external id {int(se[found][0])} already present")
+        self._ext_sorted = np.insert(self._ext_sorted, pos, se)
+        self._slot_for_ext = np.insert(self._slot_for_ext, pos, ss)
+
         max_slot = int(internal_slots.max(initial=-1))
         if max_slot >= self._int_to_ext.size:
             grow = max(max_slot + 1, 2 * self._int_to_ext.size)
             new = np.full(grow, -1, dtype=np.int64)
             new[: self._int_to_ext.size] = self._int_to_ext
             self._int_to_ext = new
-        for ext, slot in zip(external_ids, internal_slots):
-            self._ext_to_int[int(ext)] = int(slot)
-            self._int_to_ext[int(slot)] = int(ext)
+        self._int_to_ext[internal_slots] = external_ids
 
     def remove(self, external_ids) -> np.ndarray:
-        """Remove external ids, returning their internal slots."""
-        slots = np.empty(len(external_ids), dtype=np.int64)
-        for i, ext in enumerate(np.asarray(external_ids, dtype=np.int64)):
-            slot = self._ext_to_int.pop(int(ext), None)
-            if slot is None:
-                raise KeyError(f"external id {int(ext)} not present")
-            self._int_to_ext[slot] = -1
-            slots[i] = slot
+        """Remove external ids, returning their internal slots (input order)."""
+        ext = np.asarray(external_ids, dtype=np.int64).ravel()
+        if ext.size == 0:
+            return np.empty(0, dtype=np.int64)
+        if np.unique(ext).size != ext.size:
+            raise KeyError("duplicate external id in remove batch")
+        pos, found = self._find(ext)
+        if not np.all(found):
+            raise KeyError(
+                f"external id {int(ext[~found][0])} not present")
+        slots = self._slot_for_ext[pos]
+        self._int_to_ext[slots] = -1
+        self._ext_sorted = np.delete(self._ext_sorted, pos)
+        self._slot_for_ext = np.delete(self._slot_for_ext, pos)
         return slots
 
     def to_external(self, internal_slots) -> np.ndarray:
@@ -63,23 +96,44 @@ class IDTranslator:
 
     def to_internal(self, external_ids) -> np.ndarray:
         ext = np.asarray(external_ids, dtype=np.int64)
-        return np.array([self._ext_to_int[int(e)] for e in ext.ravel()],
-                        dtype=np.int64).reshape(ext.shape)
+        flat = ext.ravel()
+        pos, found = self._find(flat)
+        if not np.all(found):
+            raise KeyError(f"external id {int(flat[~found][0])} not present")
+        return self._slot_for_ext[pos].reshape(ext.shape)
 
     def remap(self, old_to_new) -> None:
-        """Apply a slot remapping (compaction, reference core/compact.h)."""
-        old_to_new = dict(old_to_new)
-        new_int_to_ext = np.full_like(self._int_to_ext, -1)
-        for ext, slot in list(self._ext_to_int.items()):
-            new_slot = old_to_new.get(slot, slot)
-            self._ext_to_int[ext] = new_slot
-            if new_slot >= new_int_to_ext.size:
-                grow = np.full(new_slot + 1, -1, dtype=np.int64)
-                grow[: new_int_to_ext.size] = new_int_to_ext
-                new_int_to_ext = grow
-            new_int_to_ext[new_slot] = ext
+        """Apply a slot remapping (compaction, reference core/compact.h).
+
+        ``old_to_new`` is either a dict {old_slot: new_slot} (identity for
+        missing keys) or a dense int array indexed by old slot where negative
+        entries mean identity.
+        """
+        if self._slot_for_ext.size == 0:
+            return
+        max_old = int(self._slot_for_ext.max(initial=-1))
+        dense = np.arange(max_old + 1, dtype=np.int64)
+        if isinstance(old_to_new, dict):
+            if old_to_new:
+                olds = np.fromiter(old_to_new.keys(), dtype=np.int64,
+                                   count=len(old_to_new))
+                news = np.fromiter(old_to_new.values(), dtype=np.int64,
+                                   count=len(old_to_new))
+                in_range = olds <= max_old
+                dense[olds[in_range]] = news[in_range]
+        else:
+            arr = np.asarray(old_to_new, dtype=np.int64)
+            k = min(arr.size, dense.size)
+            mapped = arr[:k] >= 0
+            dense[:k][mapped] = arr[:k][mapped]
+        self._slot_for_ext = dense[self._slot_for_ext]
+
+        new_size = max(int(self._slot_for_ext.max(initial=-1)) + 1, 1)
+        new_int_to_ext = np.full(max(new_size, self._int_to_ext.size), -1,
+                                 dtype=np.int64)
+        new_int_to_ext[self._slot_for_ext] = self._ext_sorted
         self._int_to_ext = new_int_to_ext
 
     def all_external_ids(self) -> np.ndarray:
-        return np.fromiter(self._ext_to_int.keys(), dtype=np.int64,
-                           count=len(self._ext_to_int))
+        """All live external ids, ascending."""
+        return self._ext_sorted.copy()

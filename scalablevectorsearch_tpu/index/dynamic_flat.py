@@ -138,5 +138,6 @@ class DynamicFlatIndex:
         new_status[: alive.size] = SLOT_VALID
         self.status = new_status
         self.valid_mask = jnp.asarray(self.status == SLOT_VALID)
-        old_to_new = {int(o): i for i, o in enumerate(alive)}
+        old_to_new = np.full(high, -1, dtype=np.int64)
+        old_to_new[alive] = np.arange(alive.size)
         self.translator.remap(old_to_new)
