@@ -180,6 +180,52 @@ def greedy_search(graph: NeighborGraph,
     window_mask = (iota_c < window)[None, :]
     m = pop_width
 
+    # Fused beam-update Pallas kernel (TPU only): dedup + sorted merge + pop
+    # selection in one VMEM-resident kernel instead of 4-5 separate XLA ops
+    # (the non-scoring ~40% of the iteration; PERF.md round-2 lever 1).
+    use_beam_kernel = (jax.default_backend() == "tpu"
+                       and not _os.environ.get("SVT_NO_BEAM_KERNEL"))
+    if use_beam_kernel:
+        from ...ops.pallas.beam_update import beam_update
+
+        beam_packed = jnp.where(jnp.isfinite(beam_keys), beam_ids, -1)
+        dummy_keys = jnp.full((b, 8), jnp.inf, jnp.float32)
+        dummy_ids = jnp.full((b, 8), -1, jnp.int32)
+        beam_keys, beam_packed, popped, _, _ = beam_update(
+            beam_keys, beam_packed, dummy_keys, dummy_ids,
+            window=window, m=m)
+
+        def cond_k(state):
+            it, bk, bp, popped, n_pops, pool_ids, pool_keys = state
+            return jnp.logical_and(it < max_iters, jnp.any(popped >= 0))
+
+        def body_k(state):
+            it, bk, bp, popped, n_pops, pool_ids, pool_keys = state
+            has = popped >= 0                               # (B, m)
+            n_pops = n_pops + jnp.sum(has, axis=1, dtype=jnp.int32)
+            nbrs = graph.neighbors(jnp.maximum(popped, 0).reshape(-1))
+            nbrs = nbrs.reshape(b, m * r)
+            nbrs = jnp.where(jnp.repeat(has, r, axis=1), nbrs, -1)
+            cand_keys = score(nbrs)
+            bk, bp, popped, surv_keys, surv_ids = beam_update(
+                bk, bp, cand_keys, nbrs, window=window, m=m)
+            if track:
+                # kernel-deduped survivors: beam-resident ids were pool-merged
+                # when first scored, so masking them here loses nothing
+                pool_keys, pool_ids = topk_ops.merge_smallest(
+                    pool_keys, pool_ids, surv_keys, surv_ids, p)
+            return (it + 1, bk, bp, popped, n_pops, pool_ids, pool_keys)
+
+        state = (jnp.int32(0), beam_keys, beam_packed, popped,
+                 jnp.zeros((b,), jnp.int32), pool_ids0, pool_keys0)
+        it, beam_keys, beam_packed, popped, n_pops, pool_ids, pool_keys = \
+            jax.lax.while_loop(cond_k, body_k, state)
+        beam_ids = jnp.where(jnp.isfinite(beam_keys),
+                             beam_packed & (VIS_BIT - 1), -1)
+        return SearchOutput(ids=beam_ids, keys=beam_keys, n_iters=it,
+                            n_pops=n_pops, pool_ids=pool_ids,
+                            pool_keys=pool_keys)
+
     def unvisited_mask(keys, vis):
         return jnp.isfinite(keys) & (vis == 0) & window_mask
 
