@@ -196,6 +196,224 @@ def ivf_search(job: dict) -> dict:
     return {"build_time_s": round(build_s, 3), "configs": configs}
 
 
+@register_executable("vamana_dynamic")
+def vamana_dynamic(job: dict) -> dict:
+    """Dynamic workflow: cycles of delete + add + consolidate + compact with
+    per-op wall times and recall after every cycle (reference
+    vamana::dynamic_workflow, benchmark/.../vamana/dynamic_traits.h)."""
+    from ..index.vamana.dynamic import MutableVamanaIndex
+    from ..index.vamana.params import VamanaBuildParameters
+    from ..core.recall import k_recall_at_n
+    from ..index.flat import exhaustive_search
+
+    data, queries = _load_dataset(job)
+    data = np.asarray(data)
+    distance = job.get("distance", "L2")
+    k = job.get("num_neighbors", 10)
+    n = len(data)
+    cycle_frac = job.get("cycle_fraction", 0.1)
+    n_cycles = job.get("num_cycles", 3)
+    window = job.get("search_window_size", 4 * k)
+    rng = np.random.default_rng(job.get("seed", 0))
+
+    bp = VamanaBuildParameters(**job.get("build_parameters", {}))
+    ids = np.arange(n, dtype=np.int64)
+    t0 = time.time()
+    index = MutableVamanaIndex(bp, data, ids, distance)
+    build_s = time.time() - t0
+    index.search_window_size = window
+
+    live = dict(zip(ids.tolist(), range(n)))  # external id -> row
+    next_id = n
+    per_cycle = max(1, int(n * cycle_frac))
+    cycles = []
+    for c in range(n_cycles):
+        # delete a random subset, re-add the same vectors under new ids
+        ext = np.fromiter(live.keys(), dtype=np.int64,
+                          count=len(live))
+        victims = rng.choice(ext, size=per_cycle, replace=False)
+        rows = np.asarray([live.pop(int(v)) for v in victims])
+        t0 = time.time()
+        index.delete_points(victims)
+        del_s = time.time() - t0
+        new_ids = np.arange(next_id, next_id + per_cycle, dtype=np.int64)
+        next_id += per_cycle
+        t0 = time.time()
+        index.add_points(data[rows], new_ids)
+        add_s = time.time() - t0
+        for e, r in zip(new_ids, rows):
+            live[int(e)] = int(r)
+        t0 = time.time()
+        index.consolidate()
+        cons_s = time.time() - t0
+        t0 = time.time()
+        index.compact()
+        comp_s = time.time() - t0
+        # recall against ground truth over the live rows
+        rows_live = np.fromiter(live.values(), dtype=np.int64,
+                                count=len(live))
+        gt_local = exhaustive_search(data[rows_live], queries, k,
+                                     distance=distance)
+        res = index.search(queries, k)
+        # map returned external ids -> rows for comparison
+        ext2row = np.full(next_id, -1, np.int64)
+        for e, r in live.items():
+            ext2row[e] = r
+        got_rows = np.where(res.ids >= 0, ext2row[np.maximum(res.ids, 0)], -1)
+        gt_rows = rows_live[gt_local.ids]
+        recall = float(np.mean([
+            len(set(got_rows[i]) & set(gt_rows[i])) / k
+            for i in range(len(queries))]))
+        cycles.append({
+            "cycle": c, "delete_s": round(del_s, 3),
+            "add_s": round(add_s, 3), "consolidate_s": round(cons_s, 3),
+            "compact_s": round(comp_s, 3), "recall": round(recall, 5),
+            "size": index.size})
+    _, qps, lat_us = _measure_qps(index.search, queries, k)
+    return {"build_time_s": round(build_s, 3), "cycles": cycles,
+            "qps": round(qps, 1), "mean_latency_us": round(lat_us, 1)}
+
+
+@register_executable("vamana_iterator")
+def vamana_iterator(job: dict) -> dict:
+    """Batch-iterator benchmark: paged retrieval throughput + page recall
+    (reference vamana::iterator_benchmark, main.cpp:38)."""
+    from ..index.vamana.index import VamanaIndex
+    from ..index.vamana.iterator import BatchIterator
+    from ..index.vamana.params import VamanaBuildParameters
+
+    data, queries = _load_dataset(job)
+    distance = job.get("distance", "L2")
+    k = job.get("num_neighbors", 10)
+    batch_size = job.get("batch_size", k)
+    n_batches = job.get("num_batches", 5)
+    bp = VamanaBuildParameters(**job.get("build_parameters", {}))
+    index = VamanaIndex.build(bp, data, distance)
+    gt = _groundtruth(data, queries, k * n_batches, distance)
+
+    nq = min(len(queries), job.get("max_iterator_queries", 32))
+    t0 = time.time()
+    hits = 0
+    total = 0
+    for qi in range(nq):
+        it = BatchIterator(index, np.asarray(queries)[qi],
+                           batch_size=batch_size)
+        seen = []
+        for _ in range(n_batches):
+            res = it.next()
+            seen.extend(int(i) for i in np.asarray(res.ids).ravel()
+                        if i >= 0)
+        want = set(int(i) for i in np.asarray(gt.ids)[qi][: len(seen)])
+        hits += len(want & set(seen))
+        total += len(want)
+    wall = time.time() - t0
+    return {"queries": nq, "batches_per_query": n_batches,
+            "batch_size": batch_size,
+            "recall": round(hits / max(total, 1), 5),
+            "batches_per_s": round(nq * n_batches / wall, 1)}
+
+
+@register_executable("inverted_search")
+def inverted_search(job: dict) -> dict:
+    """Inverted index build + refinement-epsilon sweep (reference
+    inverted::{static_workflow, search_static_workflow}, main.cpp:40-44)."""
+    from ..index.inverted.index import (InvertedBuildParameters,
+                                        InvertedIndex,
+                                        InvertedSearchParameters)
+    from ..core.recall import k_recall_at_n
+
+    data, queries = _load_dataset(job)
+    distance = job.get("distance", "L2")
+    k = job.get("num_neighbors", 10)
+    bp = InvertedBuildParameters.from_table(job["build_parameters"]) \
+        if "build_parameters" in job else InvertedBuildParameters()
+    t0 = time.time()
+    index = InvertedIndex.build(bp, data, distance)
+    build_s = time.time() - t0
+    gt = _groundtruth(data, queries, k, distance)
+    configs = []
+    for eps in job.get("refinement_epsilons", [0.5, 1.0, 2.0]):
+        sp = InvertedSearchParameters(refinement_epsilon=eps,
+                                      max_probes=job.get("max_probes", 16))
+        res, qps, lat_us = _measure_qps(
+            lambda q, kk: index.search(q, kk, parameters=sp), queries, k)
+        configs.append({"refinement_epsilon": eps,
+                        "recall": round(k_recall_at_n(gt, res), 5),
+                        "qps": round(qps, 1),
+                        "mean_latency_us": round(lat_us, 1)})
+    return {"build_time_s": round(build_s, 3),
+            "num_centroids": index.num_centroids, "configs": configs}
+
+
+@register_executable("ivf_test_generator")
+def ivf_test_generator(job: dict) -> dict:
+    """Regenerate IVF golden recall tables (reference ivf::test_generator,
+    main.cpp:47-49)."""
+    from ..index.ivf.index import IVFIndex
+    from ..index.ivf.params import IVFBuildParameters, IVFSearchParameters
+    from ..core.recall import k_recall_at_n
+
+    data, queries = _load_dataset(job)
+    k = job.get("num_neighbors", 10)
+    expected = []
+    for distance in job.get("distances", ["L2"]):
+        bp = IVFBuildParameters(**job.get("build_parameters", {}))
+        index = IVFIndex.build(bp, data, distance)
+        gt = _groundtruth(data, queries, k, distance)
+        sweeps = {}
+        for probes in job.get("n_probes", [1, 4, 16]):
+            sp = IVFSearchParameters(
+                n_probes=probes, k_reorder=job.get("k_reorder", 1))
+            sweeps[str(probes)] = round(
+                k_recall_at_n(gt, index.search(queries, k, sp)), 5)
+        expected.append({"distance": str(distance),
+                         "build_parameters": dict(
+                             num_centroids=bp.num_centroids,
+                             is_hierarchical=bp.is_hierarchical),
+                         "recalls": sweeps})
+    out = {"schema": "ivf_expected_results", "version": "v0.0.1",
+           "num_neighbors": k, "dataset": job.get("synthetic", {}),
+           "expected": expected}
+    if "output_file" in job:
+        with open(job["output_file"], "w") as f:
+            json.dump(out, f, indent=2)
+    return out
+
+
+@register_executable("inverted_test_generator")
+def inverted_test_generator(job: dict) -> dict:
+    """Regenerate inverted-index golden recall tables (reference
+    inverted::test_generator, main.cpp:45)."""
+    from ..index.inverted.index import (InvertedBuildParameters,
+                                        InvertedIndex,
+                                        InvertedSearchParameters)
+    from ..core.recall import k_recall_at_n
+
+    data, queries = _load_dataset(job)
+    k = job.get("num_neighbors", 10)
+    expected = []
+    for distance in job.get("distances", ["L2"]):
+        bp = InvertedBuildParameters.from_table(job["build_parameters"]) \
+            if "build_parameters" in job else InvertedBuildParameters()
+        index = InvertedIndex.build(bp, data, distance)
+        gt = _groundtruth(data, queries, k, distance)
+        sweeps = {}
+        for eps in job.get("refinement_epsilons", [0.5, 1.0, 2.0]):
+            sp = InvertedSearchParameters(
+                refinement_epsilon=eps, max_probes=job.get("max_probes", 16))
+            sweeps[str(eps)] = round(
+                k_recall_at_n(gt, index.search(queries, k, parameters=sp)),
+                5)
+        expected.append({"distance": str(distance), "recalls": sweeps})
+    out = {"schema": "inverted_expected_results", "version": "v0.0.1",
+           "num_neighbors": k, "dataset": job.get("synthetic", {}),
+           "expected": expected}
+    if "output_file" in job:
+        with open(job["output_file"], "w") as f:
+            json.dump(out, f, indent=2)
+    return out
+
+
 @register_executable("vamana_test_generator")
 def vamana_test_generator(job: dict) -> dict:
     """Regenerate golden expected-recall tables for the integration tests
