@@ -94,6 +94,11 @@ class VectorDataset:
     def get_f32(self, ids: jax.Array) -> jax.Array:
         return self.get(ids).astype(jnp.float32)
 
+    def norms_of(self, ids: jax.Array) -> jax.Array:
+        """Gather cached squared norms (protocol method so sharded views can
+        override with a collective)."""
+        return jnp.take(self.norms_sq, ids, axis=0, mode="clip")
+
     def to_numpy(self) -> np.ndarray:
         return np.asarray(self.vectors[: self.n, : self.dim])
 

@@ -73,6 +73,11 @@ class NeighborGraph:
         (reference: ``SimpleGraphBase::get_node`` graph.h:103)."""
         return jnp.take(self.adjacency, ids, axis=0, mode="clip")
 
+    def degrees_of(self, ids: jax.Array) -> jax.Array:
+        """Gather node degrees (protocol method so sharded views can
+        override with a collective)."""
+        return jnp.take(self.degrees, ids, mode="clip")
+
     # -- mutation (functional) --------------------------------------------------
     def replace_rows(self, ids: jax.Array, rows: jax.Array,
                      new_degrees: jax.Array) -> "NeighborGraph":

@@ -53,9 +53,12 @@ MAX_BACKEDGES = 16   # per-destination reverse-edge overflow cap per round
 
 def _score_against(data: VectorDataset, distance, queries, q_norms, ids):
     """Keys from each query row to its gathered candidate ids (+inf invalid)."""
+    custom = getattr(data, "score_keys", None)
+    if custom is not None:     # sharded view: local score + pmin collective
+        return custom(distance, queries, q_norms, ids)
     clamped = jnp.maximum(ids, 0)
     vecs = data.get(clamped)
-    norms = jnp.take(data.norms_sq, clamped, axis=0, mode="clip")
+    norms = data.norms_of(clamped)
     keys = dist_ops.gathered_keys(distance, queries, vecs,
                                   gathered_norms_sq=norms,
                                   query_norms_sq=q_norms)
@@ -79,7 +82,7 @@ def _prune_pools(data: VectorDataset, pool_ids, pool_keys, self_ids,
         ids, keys, selfs = args
         clamped = jnp.maximum(ids, 0)
         vecs = data.get(clamped).astype(jnp.float32)
-        norms = jnp.take(data.norms_sq, clamped, axis=0, mode="clip")
+        norms = data.norms_of(clamped)
         norms = jnp.where(ids >= 0, norms, jnp.inf)
         return prune_ops.robust_prune(ids, keys, vecs, norms, selfs,
                                       alpha, max_result, distance)
@@ -120,7 +123,7 @@ def build_round(graph: NeighborGraph,
     r = max_degree
     b = batch_ids.shape[0]
     queries = data.get(batch_ids)
-    q_norms = jnp.take(data.norms_sq, batch_ids, axis=0, mode="clip")
+    q_norms = data.norms_of(batch_ids)
 
     # --- 1. search with pool tracking -----------------------------------
     out = search_mod.greedy_search(
@@ -179,7 +182,7 @@ def build_round(graph: NeighborGraph,
         jnp.maximum, jnp.where(seg_start, iota_e, 0))
     rank = iota_e - group_start
 
-    deg_dst = jnp.take(graph.degrees, jnp.maximum(dst_s, 0), mode="clip")
+    deg_dst = graph.degrees_of(jnp.maximum(dst_s, 0))
     slot = deg_dst + rank
     append_ok = valid_s & (slot < r)
     graph = graph.scatter_edges(dst_s, slot, src_s, append_ok)
@@ -232,7 +235,7 @@ def _reprune_body(graph: NeighborGraph,
     """Re-prune overflowing destinations (vamana_build.h:510-579): candidate
     set = current adjacency ∪ overflow backedges, pruned to ``prune_to``."""
     queries = data.get(node_ids)
-    q_norms = jnp.take(data.norms_sq, node_ids, axis=0, mode="clip")
+    q_norms = data.norms_of(node_ids)
     adj = graph.neighbors(jnp.maximum(node_ids, 0))
     cand_ids = jnp.concatenate([adj, backedges], axis=1)
     cand_keys = _score_against(data, distance, queries, q_norms, cand_ids)

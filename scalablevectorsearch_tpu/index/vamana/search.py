@@ -125,12 +125,18 @@ def greedy_search(graph: NeighborGraph,
         and _os.environ.get("SVT_PALLAS_SCORE")
         and queries.shape[0] % 8 == 0)
 
+    # Sharded dataset views provide their own collective scoring path
+    # (parallel/sharded.py: local gather + pmin over the shard axis)
+    custom_score = getattr(data, "score_keys", None)
+
     def score(ids: jax.Array) -> jax.Array:
         """(B, K) ids -> (B, K) keys with +inf for invalid ids.
 
         Candidate norms are recomputed from the gathered rows rather than
         gathered from the norm cache — one fused reduction replaces a
         second HBM gather op."""
+        if custom_score is not None:
+            return custom_score(distance, queries, q_norms, ids)
         clamped = jnp.maximum(ids, 0)
         vecs = data.get(clamped)
         if (use_pallas_score and vecs.dtype == jnp.float32

@@ -21,6 +21,7 @@ Three production decompositions (BASELINE.json north star):
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Tuple
 
@@ -227,3 +228,282 @@ def dp_build_round(mesh: Mesh, graph: NeighborGraph, data: VectorDataset,
     entry_ids = jax.device_put(entry_ids, rep)
     return build_mod.build_round(graph, data, batch_ids, batch_valid,
                                  entry_ids, **round_kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Sharded-graph Vamana: graph rows + vectors sharded across the mesh
+# ---------------------------------------------------------------------------
+#
+# The memory-scaling configuration (the reference's NUMA partitioning of the
+# data structures themselves, include/svs/lib/numa.h:230): each device owns a
+# contiguous block of graph rows and dataset rows.  Search/build run the
+# UNCHANGED single-chip algorithms over "shard view" pytrees that implement
+# the graph/dataset protocol with collectives:
+#
+# * adjacency rows:  local gather, non-owners contribute -1, pmax merge
+# * score keys:      local gather+score, non-owners contribute +inf, pmin
+# * vector rows:     local gather, non-owners contribute 0, psum
+# * row commits:     each device applies only the updates it owns
+#
+# Because every device sees identical reduced values, the lockstep beam state
+# stays replicated and `while_loop` conditions are uniform across the mesh —
+# no divergence, and results are bit-identical to the single-chip path.
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["adjacency", "degrees"],
+         meta_fields=["axis", "n", "max_degree", "global_capacity"])
+@dataclasses.dataclass
+class ShardedGraphShard:
+    """Per-device block of graph rows; methods are valid inside shard_map."""
+
+    adjacency: jax.Array    # (rows_per_shard, R) int32
+    degrees: jax.Array      # (rows_per_shard,) int32
+    axis: str
+    n: int                  # global live node count
+    max_degree: int
+    global_capacity: int
+
+    @property
+    def capacity(self) -> int:
+        return self.global_capacity
+
+    @property
+    def rows_per_shard(self) -> int:
+        return self.adjacency.shape[0]
+
+    def _local(self, ids: jax.Array):
+        offset = jax.lax.axis_index(self.axis) * self.rows_per_shard
+        lid = ids - offset
+        mine = (ids >= 0) & (lid >= 0) & (lid < self.rows_per_shard)
+        return jnp.clip(lid, 0, self.rows_per_shard - 1), mine
+
+    def neighbors(self, ids: jax.Array) -> jax.Array:
+        lid, mine = self._local(ids)
+        rows = jnp.take(self.adjacency, lid, axis=0)
+        rows = jnp.where(mine[:, None], rows, -1)
+        return jax.lax.pmax(rows, self.axis)
+
+    def degrees_of(self, ids: jax.Array) -> jax.Array:
+        lid, mine = self._local(ids)
+        deg = jnp.where(mine, jnp.take(self.degrees, lid), 0)
+        return jax.lax.psum(deg, self.axis)
+
+    def replace_rows(self, ids, rows, new_degrees) -> "ShardedGraphShard":
+        lid, mine = self._local(ids)
+        idx = jnp.where(mine, lid, self.rows_per_shard)   # OOB -> dropped
+        adjacency = self.adjacency.at[idx].set(rows, mode="drop")
+        degrees = self.degrees.at[idx].set(new_degrees, mode="drop")
+        return dataclasses.replace(self, adjacency=adjacency,
+                                   degrees=degrees)
+
+    def scatter_edges(self, dst, slot, src, valid) -> "ShardedGraphShard":
+        lid, mine = self._local(dst)
+        ok = valid & mine
+        r = self.max_degree
+        oob = self.rows_per_shard * r
+        flat_idx = jnp.where(ok, lid * r + slot, oob)
+        flat = self.adjacency.reshape(-1)
+        flat = flat.at[flat_idx].set(src.astype(jnp.int32), mode="drop")
+        counts = jax.ops.segment_sum(
+            ok.astype(jnp.int32), jnp.where(ok, lid, self.rows_per_shard),
+            num_segments=self.rows_per_shard + 1)[: self.rows_per_shard]
+        return dataclasses.replace(
+            self, adjacency=flat.reshape(self.adjacency.shape),
+            degrees=self.degrees + counts)
+
+    def clear_rows(self, ids: jax.Array) -> "ShardedGraphShard":
+        lid, mine = self._local(ids)
+        idx = jnp.where(mine, lid, self.rows_per_shard)
+        rows = jnp.full((ids.shape[0], self.max_degree), -1, jnp.int32)
+        adjacency = self.adjacency.at[idx].set(rows, mode="drop")
+        degrees = self.degrees.at[idx].set(0, mode="drop")
+        return dataclasses.replace(self, adjacency=adjacency,
+                                   degrees=degrees)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["vectors", "norms_sq"],
+         meta_fields=["axis", "n", "dim"])
+@dataclasses.dataclass
+class ShardedDataShard:
+    """Per-device block of dataset rows; methods are valid inside shard_map.
+
+    ``score_keys`` is the protocol hook greedy_search / build use instead of
+    gather-then-score, so vector rows never cross the interconnect during
+    traversal — only (B, K) key panels do (pmin).
+    """
+
+    vectors: jax.Array      # (rows_per_shard, d_pad)
+    norms_sq: jax.Array     # (rows_per_shard,)
+    axis: str
+    n: int                  # global live row count
+    dim: int
+
+    @property
+    def rows_per_shard(self) -> int:
+        return self.vectors.shape[0]
+
+    @property
+    def padded_dim(self) -> int:
+        return self.vectors.shape[1]
+
+    def _local(self, ids: jax.Array):
+        offset = jax.lax.axis_index(self.axis) * self.rows_per_shard
+        lid = ids - offset
+        mine = (ids >= 0) & (lid >= 0) & (lid < self.rows_per_shard)
+        return jnp.clip(lid, 0, self.rows_per_shard - 1), mine
+
+    def get(self, ids: jax.Array) -> jax.Array:
+        lid, mine = self._local(ids)
+        rows = jnp.take(self.vectors, lid, axis=0).astype(jnp.float32)
+        rows = jnp.where(mine[..., None], rows, 0.0)
+        return jax.lax.psum(rows, self.axis)
+
+    def get_f32(self, ids: jax.Array) -> jax.Array:
+        return self.get(ids)
+
+    def norms_of(self, ids: jax.Array) -> jax.Array:
+        lid, mine = self._local(ids)
+        norms = jnp.where(mine, jnp.take(self.norms_sq, lid), 0.0)
+        return jax.lax.psum(norms, self.axis)
+
+    def score_keys(self, distance, queries, q_norms, ids) -> jax.Array:
+        """(B, K) ids -> (B, K) keys; local score + pmin over the shard
+        axis (the collective replacement for gather-then-score)."""
+        lid, mine = self._local(ids)
+        vecs = jnp.take(self.vectors, lid, axis=0)
+        keys = dist_ops.gathered_keys(distance, queries, vecs,
+                                      query_norms_sq=q_norms)
+        in_range = mine & (ids < self.n)
+        keys = jnp.where(in_range, keys, jnp.inf)
+        return jax.lax.pmin(keys, self.axis)
+
+
+def _graph_shard_meta(graph: NeighborGraph, n_shards: int):
+    rps = dt.pad_to(-(-graph.capacity // n_shards), 8)
+    return rps, rps * n_shards
+
+
+def shard_graph(graph: NeighborGraph, mesh: Mesh, axis: str = "shard"):
+    """Lay a graph's rows out across a mesh axis; returns (adjacency,
+    degrees) device arrays sharded along the axis plus the view metadata."""
+    rps, cap = _graph_shard_meta(graph, mesh.shape[axis])
+    graph = graph.with_capacity(cap)
+    sh = NamedSharding(mesh, P(axis, None))
+    adjacency = jax.device_put(graph.adjacency, sh)
+    degrees = jax.device_put(graph.degrees, NamedSharding(mesh, P(axis)))
+    meta = dict(axis=axis, n=graph.n, max_degree=graph.max_degree,
+                global_capacity=cap)
+    return adjacency, degrees, meta
+
+
+def sharded_greedy_search(mesh: Mesh, graph: NeighborGraph,
+                          data: VectorDataset, queries, entry_ids, *,
+                          window: int, capacity: int, max_iters: int,
+                          distance, pool_size: int = 0, pop_width: int = 4,
+                          axis: str = "shard"):
+    """Greedy search over a row-sharded graph + dataset (replicated queries).
+
+    Bit-identical to the single-chip search: the per-iteration gathers
+    become (local gather, pmax/pmin merge) pairs, the beam state stays
+    replicated.  Memory per device is O(n / n_shards)."""
+    distance = dist_ops.as_distance(distance)
+    adjacency, degrees, g_meta = shard_graph(graph, mesh, axis)
+    data_sh = shard_dataset(data, mesh, axis)
+
+    def local(adj, deg, vec, nrm, q, eids):
+        gview = ShardedGraphShard(adj, deg, **g_meta)
+        dview = ShardedDataShard(vec, nrm, axis=axis, n=data.n,
+                                 dim=data.dim)
+        return search_mod.greedy_search(
+            gview, dview, q, eids, window=window, capacity=capacity,
+            max_iters=max_iters, distance=distance, pool_size=pool_size,
+            pop_width=pop_width)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis, None), P(axis), P(), P()),
+        out_specs=P(), check_vma=False)
+    return jax.jit(fn)(adjacency, degrees, data_sh.vectors,
+                       data_sh.norms_sq, queries, entry_ids)
+
+
+def sharded_build_graph(mesh: Mesh, data, params, distance, *,
+                        axis: str = "shard", batch_size=None,
+                        prune_chunk: int = 128, pop_width: int = 2,
+                        entry_point=None):
+    """Full Vamana build with graph rows + vectors sharded across the mesh.
+
+    Runs the unchanged fused build round (index/vamana/build.py) over shard
+    views: search/scoring traffic is (B, K) key panels (pmin), prune-pool
+    vector gathers are psum'd blocks, and each device commits only the
+    adjacency rows it owns.  Returns (NeighborGraph on host, entry_point).
+
+    This is the configuration for datasets that cannot replicate per device
+    (SURVEY §7 step 8; BASELINE Deep-100M).
+    """
+    import numpy as np
+    from ..core.medioid import compute_medioid
+    from ..index.vamana import build as build_mod
+
+    distance = dist_ops.as_distance(distance)
+    if not isinstance(data, VectorDataset):
+        data = VectorDataset.from_array(data)
+    params = params.resolved(distance)
+    n = data.n
+    r = params.graph_max_degree
+
+    entry = entry_point if entry_point is not None else compute_medioid(data)
+    entry_ids = jnp.asarray([int(entry)], dtype=jnp.int32)
+
+    graph0 = NeighborGraph.empty(n, r)
+    adjacency, degrees, g_meta = shard_graph(graph0, mesh, axis)
+    data_sh = shard_dataset(data, mesh, axis)
+
+    b = batch_size if batch_size is not None else \
+        build_mod.default_batch_size(n)
+    pool_size = params.max_candidate_pool_size
+    num_batches = -(-n // b)
+
+    def round_local(adj, deg, vec, nrm, batch_ids, batch_valid, eids, *,
+                    window, max_iters, rev_alpha):
+        gview = ShardedGraphShard(adj, deg, **g_meta)
+        dview = ShardedDataShard(vec, nrm, axis=axis, n=n, dim=data.dim)
+        g2, dropped = build_mod.build_round(
+            gview, dview, batch_ids, batch_valid, eids,
+            window=window, capacity=window, max_iters=max_iters,
+            distance=distance, pool_size=pool_size,
+            gen_alpha=float(params.alpha), rev_alpha=float(rev_alpha),
+            prune_to=params.prune_to, max_degree=r,
+            prune_chunk=prune_chunk, pop_width=pop_width)
+        return g2.adjacency, g2.degrees, dropped
+
+    compiled = {}
+    for pass_idx, rev_alpha in enumerate((1.0, float(params.alpha))):
+        window = params.window_size
+        max_iters = search_mod.default_max_iters(window)
+        key = rev_alpha
+        if key not in compiled:
+            fn = jax.shard_map(
+                partial(round_local, window=window, max_iters=max_iters,
+                        rev_alpha=rev_alpha),
+                mesh=mesh,
+                in_specs=(P(axis, None), P(axis), P(axis, None), P(axis),
+                          P(), P(), P()),
+                out_specs=(P(axis, None), P(axis), P()),
+                check_vma=False)
+            compiled[key] = jax.jit(fn)
+        for batch_idx in range(num_batches):
+            start = batch_idx * b
+            ids = np.arange(start, start + b, dtype=np.int32)
+            valid = ids < n
+            ids = np.minimum(ids, n - 1)
+            adjacency, degrees, _ = compiled[key](
+                adjacency, degrees, data_sh.vectors, data_sh.norms_sq,
+                jnp.asarray(ids), jnp.asarray(valid), entry_ids)
+        jax.block_until_ready(adjacency)
+
+    graph = NeighborGraph(adjacency=jnp.asarray(np.asarray(adjacency))[:n],
+                          degrees=jnp.asarray(np.asarray(degrees))[:n],
+                          n=n, max_degree=r)
+    return graph, int(entry)

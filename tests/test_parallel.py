@@ -108,3 +108,67 @@ class TestShardedIVF:
         # identical candidate sets modulo distance ties
         agree = (got == single.ids).mean()
         assert agree > 0.98, agree
+
+
+class TestShardedGraph:
+    """Graph rows + vectors sharded across devices (SURVEY §7 step 8): the
+    sharded search must be bit-identical to single-chip, and the sharded
+    build must produce the identical graph for an identical batch schedule
+    (the round math is deterministic)."""
+
+    def _index(self, n=2000, d=32, r=12, seed=3):
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=(n, d)).astype(np.float32)
+        data = VectorDataset.from_array(x)
+        adj = rng.integers(0, n, size=(n, r)).astype(np.int32)
+        graph = NeighborGraph.from_array(adj)
+        queries = jnp.asarray(pad_matrix(
+            rng.normal(size=(16, d)).astype(np.float32)))
+        return x, data, graph, queries
+
+    def test_search_bit_identical(self, eight_devices):
+        x, data, graph, queries = self._index()
+        eids = jnp.asarray([0], jnp.int32)
+        mesh = mesh_mod.make_mesh(8, axis_name="shard")
+        kw = dict(window=16, capacity=16, max_iters=40, distance="l2")
+        ref = greedy_search(graph, data, queries, eids, **kw)
+        out = sharded.sharded_greedy_search(mesh, graph, data, queries,
+                                            eids, **kw)
+        np.testing.assert_array_equal(np.asarray(ref.ids),
+                                      np.asarray(out.ids))
+        fin = np.isfinite(np.asarray(ref.keys))
+        np.testing.assert_allclose(
+            np.where(fin, np.asarray(out.keys), 0),
+            np.where(fin, np.asarray(ref.keys), 0), rtol=1e-5)
+
+    def test_search_with_pool_tracking(self, eight_devices):
+        x, data, graph, queries = self._index()
+        eids = jnp.asarray([0], jnp.int32)
+        mesh = mesh_mod.make_mesh(8, axis_name="shard")
+        kw = dict(window=16, capacity=16, max_iters=40, distance="l2",
+                  pool_size=32)
+        ref = greedy_search(graph, data, queries, eids, **kw)
+        out = sharded.sharded_greedy_search(mesh, graph, data, queries,
+                                            eids, **kw)
+        np.testing.assert_array_equal(np.asarray(ref.pool_ids),
+                                      np.asarray(out.pool_ids))
+
+    def test_build_identical_graph(self, eight_devices):
+        from scalablevectorsearch_tpu.index.vamana import build as build_mod
+        from scalablevectorsearch_tpu.index.vamana.params import (
+            VamanaBuildParameters)
+        x, data, graph, queries = self._index()
+        mesh = mesh_mod.make_mesh(8, axis_name="shard")
+        params = VamanaBuildParameters(
+            graph_max_degree=12, window_size=24,
+            max_candidate_pool_size=48, prune_to=10)
+        g_sh, e_sh = sharded.sharded_build_graph(mesh, data, params, "l2",
+                                                 batch_size=256)
+        g_one, e_one = build_mod.build_graph(data, params, "l2",
+                                             batch_size=256)
+        assert e_sh == e_one
+        n = data.n
+        np.testing.assert_array_equal(np.asarray(g_sh.adjacency)[:n],
+                                      np.asarray(g_one.adjacency)[:n])
+        np.testing.assert_array_equal(np.asarray(g_sh.degrees)[:n],
+                                      np.asarray(g_one.degrees)[:n])
