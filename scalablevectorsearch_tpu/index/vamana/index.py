@@ -116,8 +116,13 @@ class VamanaIndex:
             data = VectorDataset.from_array(data, dtype=dtype)
         distance = dist_ops.as_distance(distance)
         parameters = parameters.resolved(distance)
+        # Two-level LVQ: build through the full reconstruction (the
+        # reference's DecompressionAdaptor, quantization/scalar.h:548);
+        # serving traverses the primary level only.
+        build_data = data.full_view() \
+            if getattr(data, "residual_bits", 0) else data
         graph, entry = build_mod.build_graph(
-            data, parameters, distance, batch_size=batch_size,
+            build_data, parameters, distance, batch_size=batch_size,
             pop_width=pop_width, first_pass_window=first_pass_window,
             timer=timer, logger=logger)
         return cls(graph, data, entry, distance,
@@ -177,6 +182,12 @@ class VamanaIndex:
         # dispatch every batch asynchronously, transfer results afterwards —
         # batches pipeline through the device queue (the batch-parallel
         # analog of the reference's per-thread query partitions)
+        # Two-level compressed datasets: traversal keys come from the
+        # primary level; rerank the retained beam with the residual-corrected
+        # reconstruction before taking top-k (the reference's two-level
+        # search flow; calibration_uses_reranking CPO, vamana/extensions.h).
+        rerank_view = self.data.full_view() \
+            if getattr(self.data, "residual_bits", 0) else None
         pending = []
         for start in range(0, nq, qb):
             check_cancel(cancel)
@@ -188,11 +199,17 @@ class VamanaIndex:
                 self.graph, self.data, jnp.asarray(batch), entry_ids,
                 window=window, capacity=capacity, max_iters=max_iters,
                 distance=self.distance)
-            pending.append((start, stop, out))
-        for start, stop, out in pending:
-            out_ids[start:stop] = np.asarray(out.ids[: stop - start, :k])
+            res_ids, res_keys = out.ids, out.keys
+            if rerank_view is not None:
+                from ...index.ivf.index import rerank_kernel
+                res_keys, res_ids = rerank_kernel(
+                    rerank_view, jnp.asarray(batch), None, out.ids, k=k,
+                    distance=self.distance)
+            pending.append((start, stop, res_ids, res_keys))
+        for start, stop, res_ids, res_keys in pending:
+            out_ids[start:stop] = np.asarray(res_ids[: stop - start, :k])
             out_vals[start:stop] = np.asarray(dist_ops.value_from_key(
-                self.distance, out.keys[: stop - start, :k]))
+                self.distance, res_keys[: stop - start, :k]))
         return QueryResult(ids=out_ids, distances=out_vals)
 
     # -- reconstruction -----------------------------------------------------------

@@ -201,25 +201,41 @@ def beam_update(beam_keys: jax.Array, beam_packed: jax.Array,
     b, c = beam_keys.shape
     k = cand_keys.shape[1]
     el = c + k
-    bb = block_rows if b % block_rows == 0 else (8 if b % 8 == 0 else b)
-    grid = (b // bb,)
+    # pad the row count to a multiple of the block size — a single giant
+    # block would blow VMEM, and callers pass arbitrary batch sizes
+    bb = min(block_rows, max(8, b))
+    pad_rows = (-b) % bb
+    if pad_rows:
+        beam_keys = jnp.pad(beam_keys, ((0, pad_rows), (0, 0)),
+                            constant_values=jnp.inf)
+        beam_packed = jnp.pad(beam_packed, ((0, pad_rows), (0, 0)),
+                              constant_values=-1)
+        cand_keys = jnp.pad(cand_keys, ((0, pad_rows), (0, 0)),
+                            constant_values=jnp.inf)
+        cand_ids = jnp.pad(cand_ids, ((0, pad_rows), (0, 0)),
+                           constant_values=-1)
+    bp = b + pad_rows
+    grid = (bp // bb,)
     row_spec = lambda width: pl.BlockSpec(  # noqa: E731
         (bb, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         partial(_kernel, window=window, m=m),
         grid=grid,
         in_specs=[row_spec(c), row_spec(c), row_spec(k), row_spec(k)],
         out_specs=[row_spec(c), row_spec(c), row_spec(m), row_spec(el),
                    row_spec(el)],
         out_shape=[
-            jax.ShapeDtypeStruct((b, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, c), jnp.int32),
-            jax.ShapeDtypeStruct((b, m), jnp.int32),
-            jax.ShapeDtypeStruct((b, el), jnp.float32),
-            jax.ShapeDtypeStruct((b, el), jnp.int32),
+            jax.ShapeDtypeStruct((bp, c), jnp.float32),
+            jax.ShapeDtypeStruct((bp, c), jnp.int32),
+            jax.ShapeDtypeStruct((bp, m), jnp.int32),
+            jax.ShapeDtypeStruct((bp, el), jnp.float32),
+            jax.ShapeDtypeStruct((bp, el), jnp.int32),
         ],
         interpret=interpret,
     )(beam_keys, beam_packed, cand_keys, cand_ids)
+    if pad_rows:
+        out = [o[:b] for o in out]
+    return out
 
 
 def beam_update_reference(beam_keys, beam_packed, cand_keys, cand_ids, *,
