@@ -45,17 +45,27 @@ def main():
     data, queries = svt.generate_test_dataset(n, nq, dim, seed=42)
 
     t0 = time.time()
-    params = VamanaBuildParameters(graph_max_degree=32, window_size=100,
+    alpha = float(os.environ.get("SVT_BENCH_ALPHA", 1.1))
+    params = VamanaBuildParameters(alpha=alpha, graph_max_degree=32,
+                                   window_size=100,
                                    max_candidate_pool_size=300, prune_to=28)
     index = VamanaIndex.build(params, data, "l2")
     build_s = time.time() - t0
     print(f"# build: {build_s:.1f}s mean_degree={index.graph.mean_degree():.1f}",
           file=sys.stderr)
 
+    if os.environ.get("SVT_BENCH_PACKED", "1") != "0":
+        # packed-neighborhood serving: r-fold fewer HBM row gathers/iter
+        # (the gather is per-row limited on TPU; see PERF.md)
+        t0 = time.time()
+        index.enable_packed_serving()
+        print(f"# packed neighborhoods: {time.time() - t0:.1f}s",
+              file=sys.stderr)
+
     gt = svt.exhaustive_search(data, queries, k)
 
     best = None
-    for window in (10, 16, 24, 32, 48, 64, 96, 128):
+    for window in (10, 16, 24, 28, 32, 48, 64, 96, 128):
         index.search_window_size = window
         res = index.search(queries, k)       # warm compile + measure recall
         recall = svt.k_recall_at_n(gt, res)

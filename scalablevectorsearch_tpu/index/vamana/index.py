@@ -94,6 +94,7 @@ class VamanaIndex:
                                    VamanaSearchParameters())
         self.query_batch_size = query_batch_size
         self.logger = logger
+        self._packed = None  # packed neighborhoods (enable_packed_serving)
 
     # -- construction ---------------------------------------------------------
     @classmethod
@@ -153,6 +154,25 @@ class VamanaIndex:
     def search_window_size(self, window: int) -> None:
         self._search_parameters = self._search_parameters.with_window(window)
 
+    # -- packed-neighborhood serving ---------------------------------------------
+    def enable_packed_serving(self, dtype=jnp.bfloat16,
+                              chunk: int = 65536) -> None:
+        """Materialize inline neighbor vectors for gather-bound serving
+        (``packed.pack_neighborhoods``): ~r-fold fewer HBM row gathers per
+        search iteration at ``capacity * R * d * itemsize`` bytes of HBM.
+        Plain f32/bf16 datasets only (compressed datasets traverse their own
+        code layouts)."""
+        from .packed import pack_neighborhoods
+        if getattr(self.data, "residual_bits", 0) or \
+                not hasattr(self.data, "vectors"):
+            raise ValueError("packed serving requires an uncompressed "
+                             "VectorDataset")
+        self._packed = pack_neighborhoods(self.graph, self.data, dtype,
+                                          chunk=chunk)
+
+    def disable_packed_serving(self) -> None:
+        self._packed = None
+
     # -- search -------------------------------------------------------------------
     def search(self, queries, k: int,
                parameters: Optional[VamanaSearchParameters] = None,
@@ -198,7 +218,7 @@ class VamanaIndex:
             out = search_mod.greedy_search(
                 self.graph, self.data, jnp.asarray(batch), entry_ids,
                 window=window, capacity=capacity, max_iters=max_iters,
-                distance=self.distance)
+                distance=self.distance, packed=self._packed)
             res_ids, res_keys = out.ids, out.keys
             if rerank_view is not None:
                 from ...index.ivf.index import rerank_kernel

@@ -77,7 +77,8 @@ def greedy_search(graph: NeighborGraph,
                   max_iters: int,
                   distance: dist_ops.DistanceType,
                   pool_size: int = 0,
-                  pop_width: int = 4) -> SearchOutput:
+                  pop_width: int = 4,
+                  packed: Optional[jax.Array] = None) -> SearchOutput:
     """Run lockstep greedy search for a batch of queries.
 
     Args:
@@ -97,6 +98,12 @@ def greedy_search(graph: NeighborGraph,
         fewer sequential iterations — on TPU the per-iteration cost is
         latency-bound, so this is nearly a pure win (recall impact is
         validated to be negligible-to-positive in tests/benchmarks).
+      packed: optional (capacity, R, d) packed-neighborhood array
+        (``packed.pack_neighborhoods``): candidate vectors are read from the
+        popped nodes' inline neighborhoods (m super-row gathers instead of
+        m*R row gathers — the HBM gather is per-row limited, PERF.md).  When
+        the packed dtype is lossy (bf16), the final beam is re-scored
+        against the exact rows.
 
     Returns: SearchOutput with beams sorted ascending by key.
     """
@@ -114,17 +121,6 @@ def greedy_search(graph: NeighborGraph,
 
     q_norms = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)
 
-    # The Pallas single-pass scorer (ops/pallas/gather_distance.score_rows)
-    # beats the XLA lowering in isolation (1.5x) but measures *slower*
-    # inside this loop: consuming the gather with a pallas_call forces the
-    # (B, K, d) gather output to fully materialize, while XLA partially
-    # fuses the gather into the multiply chain.  Opt-in for experimentation
-    # (SVT_PALLAS_SCORE=1); see PERF.md.
-    use_pallas_score = (
-        jax.default_backend() == "tpu"
-        and _os.environ.get("SVT_PALLAS_SCORE")
-        and queries.shape[0] % 8 == 0)
-
     # Sharded dataset views provide their own collective scoring path
     # (parallel/sharded.py: local gather + pmin over the shard axis)
     custom_score = getattr(data, "score_keys", None)
@@ -139,21 +135,8 @@ def greedy_search(graph: NeighborGraph,
             return custom_score(distance, queries, q_norms, ids)
         clamped = jnp.maximum(ids, 0)
         vecs = data.get(clamped)
-        if (use_pallas_score and vecs.dtype == jnp.float32
-                and ids.shape[1] >= 32):  # expansion-sized blocks only
-            from ...ops.pallas.gather_distance import score_rows
-            dots, x2 = score_rows(vecs, queries.astype(jnp.float32))
-            if distance == dist_ops.DistanceType.MIP:
-                keys = -dots
-            elif distance == dist_ops.DistanceType.L2:
-                keys = jnp.maximum(q_norms[:, None] - 2.0 * dots + x2, 0.0)
-            else:
-                denom = jnp.sqrt(jnp.maximum(q_norms[:, None], 1e-30)) * \
-                    jnp.sqrt(jnp.maximum(x2, 1e-30))
-                keys = -dots / denom
-        else:
-            keys = dist_ops.gathered_keys(distance, queries, vecs,
-                                          query_norms_sq=q_norms)
+        keys = dist_ops.gathered_keys(distance, queries, vecs,
+                                      query_norms_sq=q_norms)
         in_range = (ids >= 0) & (ids < data.n)
         return jnp.where(in_range, keys, jnp.inf)
 
@@ -186,20 +169,35 @@ def greedy_search(graph: NeighborGraph,
     window_mask = (iota_c < window)[None, :]
     m = pop_width
 
-    # Fused beam-update Pallas kernel (TPU only): dedup + sorted merge + pop
-    # selection in one VMEM-resident kernel instead of 4-5 separate XLA ops
-    # (the non-scoring ~40% of the iteration; PERF.md round-2 lever 1).
-    use_beam_kernel = (jax.default_backend() == "tpu"
-                       and not _os.environ.get("SVT_NO_BEAM_KERNEL"))
+    # Fully-fused beam-step Pallas kernel (TPU only): candidate scoring +
+    # dedup + bitonic merge + pop selection in one VMEM-resident kernel —
+    # the gathered candidate rows are consumed exactly once (PERF.md round-2
+    # lever 1; the XLA lowering materializes the (B, K, d) score
+    # intermediates).  Plain f32/bf16 datasets only: quantized/sharded
+    # datasets bring their own scoring.
+    # SVT_FORCE_BEAM_KERNEL=1 runs the kernel path in interpret mode off-TPU
+    # (test hook; env is read at trace time like the other SVT_* knobs).
+    force_kernel = _os.environ.get("SVT_FORCE_BEAM_KERNEL")
+    use_beam_kernel = ((jax.default_backend() == "tpu" or force_kernel)
+                       and not _os.environ.get("SVT_NO_BEAM_KERNEL")
+                       and custom_score is None
+                       and isinstance(data, VectorDataset)
+                       and data.dtype in (jnp.float32, jnp.bfloat16))
     if use_beam_kernel:
-        from ...ops.pallas.beam_update import beam_update
+        from ...ops.pallas.beam_step import beam_step
 
-        beam_packed = jnp.where(jnp.isfinite(beam_keys), beam_ids, -1)
-        dummy_keys = jnp.full((b, 8), jnp.inf, jnp.float32)
-        dummy_ids = jnp.full((b, 8), -1, jnp.int32)
-        beam_keys, beam_packed, popped, _, _ = beam_update(
-            beam_keys, beam_packed, dummy_keys, dummy_ids,
-            window=window, m=m)
+        metric_code = {dist_ops.DistanceType.L2: 0,
+                       dist_ops.DistanceType.MIP: 1}.get(distance, 2)
+        n_data = data.n
+        if queries.dtype not in (jnp.float32, jnp.bfloat16):
+            queries = queries.astype(jnp.float32)
+        # initial pop: beam is sorted and fully unvisited — take the first m
+        # finite in-window slots and mark them visited
+        in_win0 = (iota_c[None, :] < min(m, window)) & jnp.isfinite(beam_keys)
+        popped = jnp.where(in_win0[:, :m], beam_ids[:, :m], -1)
+        beam_packed = jnp.where(
+            jnp.isfinite(beam_keys),
+            beam_ids + jnp.where(in_win0, VIS_BIT, 0), -1)
 
         def cond_k(state):
             it, bk, bp, popped, n_pops, pool_ids, pool_keys = state
@@ -209,17 +207,33 @@ def greedy_search(graph: NeighborGraph,
             it, bk, bp, popped, n_pops, pool_ids, pool_keys = state
             has = popped >= 0                               # (B, m)
             n_pops = n_pops + jnp.sum(has, axis=1, dtype=jnp.int32)
-            nbrs = graph.neighbors(jnp.maximum(popped, 0).reshape(-1))
+            popped_flat = jnp.maximum(popped, 0).reshape(-1)
+            nbrs = graph.neighbors(popped_flat)
             nbrs = nbrs.reshape(b, m * r)
             nbrs = jnp.where(jnp.repeat(has, r, axis=1), nbrs, -1)
-            cand_keys = score(nbrs)
-            bk, bp, popped, surv_keys, surv_ids = beam_update(
-                bk, bp, cand_keys, nbrs, window=window, m=m)
+            nbrs = jnp.where(nbrs < n_data, nbrs, -1)
+            if packed is not None:
+                # m super-row gathers/query instead of m*r row gathers; rows
+                # of masked ids are garbage and masked by id in the kernel
+                vecs = jnp.take(packed, popped_flat, axis=0, mode="clip")
+                vecs = vecs.reshape(b, m * r, packed.shape[2])
+            else:
+                vecs = data.get(jnp.maximum(nbrs, 0))
+            bk, bp, popped, cand_keys, cand_ids = beam_step(
+                bk, bp, vecs, nbrs, queries, metric=metric_code,
+                window=window, m=m,
+                interpret=bool(force_kernel
+                               and jax.default_backend() != "tpu"))
             if track:
-                # kernel-deduped survivors: beam-resident ids were pool-merged
-                # when first scored, so masking them here loses nothing
+                # mask candidates already pooled: hub nodes are re-scored
+                # every time they appear in another expansion, and their
+                # copies would crowd the pool down to a handful of unique
+                # ids (catastrophic for MIP graphs, which are hub-heavy —
+                # measured pool uniqueness ~14/250 without this mask)
+                cand_keys = topk_ops.mask_duplicate_ids(
+                    cand_keys, cand_ids, pool_ids)
                 pool_keys, pool_ids = topk_ops.merge_smallest(
-                    pool_keys, pool_ids, surv_keys, surv_ids, p)
+                    pool_keys, pool_ids, cand_keys, cand_ids, p)
             return (it + 1, bk, bp, popped, n_pops, pool_ids, pool_keys)
 
         state = (jnp.int32(0), beam_keys, beam_packed, popped,
@@ -228,6 +242,12 @@ def greedy_search(graph: NeighborGraph,
             jax.lax.while_loop(cond_k, body_k, state)
         beam_ids = jnp.where(jnp.isfinite(beam_keys),
                              beam_packed & (VIS_BIT - 1), -1)
+        if packed is not None and packed.dtype != data.dtype:
+            # lossy packed traversal: re-score the final beam against the
+            # exact rows (one C-row gather per query) and re-sort
+            beam_keys = score(beam_ids)
+            beam_keys, beam_ids = topk_ops.sort_by_key(beam_keys, beam_ids)
+            beam_ids = jnp.where(jnp.isfinite(beam_keys), beam_ids, -1)
         return SearchOutput(ids=beam_ids, keys=beam_keys, n_iters=it,
                             n_pops=n_pops, pool_ids=pool_ids,
                             pool_keys=pool_keys)
@@ -260,26 +280,38 @@ def greedy_search(graph: NeighborGraph,
         n_pops = n_pops + jnp.sum(has, axis=1, dtype=jnp.int32)
 
         # expand: adjacency gather + candidate scoring, m rows per query
-        nbrs = graph.neighbors(jnp.maximum(popped, 0).reshape(-1))
+        popped_flat = jnp.maximum(popped, 0).reshape(-1)
+        nbrs = graph.neighbors(popped_flat)
         nbrs = nbrs.reshape(b, m * r)
         nbrs = jnp.where(jnp.repeat(has, r, axis=1), nbrs, -1)
-        cand_keys = score(nbrs)
+        if packed is not None:
+            vecs = jnp.take(packed, popped_flat, axis=0, mode="clip")
+            vecs = vecs.reshape(b, m * r, packed.shape[2])
+            cand_keys = dist_ops.gathered_keys(distance, queries, vecs,
+                                               query_norms_sq=q_norms)
+            cand_keys = jnp.where((nbrs >= 0) & (nbrs < data.n),
+                                  cand_keys, jnp.inf)
+        else:
+            cand_keys = score(nbrs)
         cand_keys = topk_ops.mask_first_duplicates(cand_keys, nbrs)
 
         if track:
-            # Duplicates (re-scored ids already in the pool) are tolerated
-            # here and removed once by the build before pruning — cheaper
-            # than an (B, R, P) membership test every iteration.
+            # mask candidates already pooled: without this, hub nodes
+            # re-scored across iterations fill the pool with duplicate
+            # copies and collapse its unique-candidate count (see the
+            # kernel path above; ~14/250 unique measured on MIP graphs)
+            pool_cand_keys = topk_ops.mask_duplicate_ids(
+                cand_keys, nbrs, pool_ids)
             pool_keys, pool_ids = topk_ops.merge_smallest(
-                pool_keys, pool_ids, cand_keys, nbrs, p)
+                pool_keys, pool_ids, pool_cand_keys, nbrs, p)
 
         # beam dedup + sort-merge insert (ids packed with visited flag)
         cand_keys = topk_ops.mask_duplicate_ids(cand_keys, nbrs, beam_ids)
         all_keys = jnp.concatenate([beam_keys, cand_keys], axis=1)
-        packed = jnp.concatenate(
+        packed_rows = jnp.concatenate(
             [beam_ids + beam_vis * VIS_BIT, nbrs], axis=1)
         s_keys, s_packed = jax.lax.sort(
-            (all_keys, packed), dimension=-1, num_keys=1)
+            (all_keys, packed_rows), dimension=-1, num_keys=1)
         keep = jnp.any(has, axis=1)[:, None]
         new_packed = s_packed[:, :c]
         # invalid (-1) entries unpack to garbage, but their keys stay +inf so
@@ -296,6 +328,10 @@ def greedy_search(graph: NeighborGraph,
         jax.lax.while_loop(cond, body, state)
 
     beam_ids = jnp.where(jnp.isfinite(beam_keys), beam_ids, -1)
+    if packed is not None and packed.dtype != data.dtype:
+        beam_keys = score(beam_ids)
+        beam_keys, beam_ids = topk_ops.sort_by_key(beam_keys, beam_ids)
+        beam_ids = jnp.where(jnp.isfinite(beam_keys), beam_ids, -1)
     return SearchOutput(ids=beam_ids, keys=beam_keys, n_iters=it,
                         n_pops=n_pops, pool_ids=pool_ids,
                         pool_keys=pool_keys)

@@ -113,14 +113,13 @@ def _beam_update_body(beam_keys, beam_packed, cand_keys, cand_ids,
                             (beam_packed & ID_MASK) * 2, _INT_BIG)
     cand_sortid = jnp.where(cand_valid == 1, cand_ids * 2 + 1, _INT_BIG)
     pad = lp - el
-    sortid = jnp.concatenate(
-        [beam_sortid, cand_sortid,
-         jnp.full((bb, pad), _INT_BIG, jnp.int32)], axis=1)
-    keys = jnp.concatenate(
-        [beam_keys, cand_keys, jnp.full((bb, pad), jnp.inf, jnp.float32)],
-        axis=1)
-    packed = jnp.concatenate(
-        [beam_packed, cand_ids, jnp.full((bb, pad), -1, jnp.int32)], axis=1)
+    # zero-width operands don't lower in Mosaic (vector sizes must be > 0)
+    tail_i = [jnp.full((bb, pad), _INT_BIG, jnp.int32)] if pad else []
+    tail_f = [jnp.full((bb, pad), jnp.inf, jnp.float32)] if pad else []
+    tail_n = [jnp.full((bb, pad), -1, jnp.int32)] if pad else []
+    sortid = jnp.concatenate([beam_sortid, cand_sortid] + tail_i, axis=1)
+    keys = jnp.concatenate([beam_keys, cand_keys] + tail_f, axis=1)
+    packed = jnp.concatenate([beam_packed, cand_ids] + tail_n, axis=1)
     sortid, (keys, packed) = bitonic_sort(sortid, (keys, packed), roll=roll)
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (bb, lp), 1)

@@ -65,7 +65,9 @@ class TestMutableVamana:
         data, queries = pool
         ref = ReferenceDataset(data, seed=3)
         pts, ids = ref.new_batch(1200)
-        params = VamanaBuildParameters(graph_max_degree=24, window_size=48)
+        # alpha=1.1: honest-pool optimum on clustered data (PERF.md round 2)
+        params = VamanaBuildParameters(graph_max_degree=24,
+                                       window_size=48, alpha=1.1)
         index = MutableVamanaIndex(params, pts, ids, "l2")
         index.search_window_size = 40
         return index, ref, queries

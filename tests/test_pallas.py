@@ -124,6 +124,22 @@ class TestBeamUpdate:
                    for j in range(sk.shape[1]) if np.isfinite(sk[r, j])}
             assert got == esurv[r]
 
+    def test_bitonic_merge(self, rng):
+        from scalablevectorsearch_tpu.ops.pallas.beam_step import (
+            bitonic_merge)
+        for n in (8, 64, 256):
+            a = np.sort(rng.normal(size=(4, n // 2)).astype(np.float32), 1)
+            b = np.sort(rng.normal(size=(4, n // 2)).astype(np.float32),
+                        1)[:, ::-1]
+            keys = np.concatenate([a, b], axis=1)
+            payload = np.arange(4 * n, dtype=np.int32).reshape(4, n)
+            mk, mp = bitonic_merge(jnp.asarray(keys), jnp.asarray(payload))
+            mk, mp = np.asarray(mk), np.asarray(mp)
+            np.testing.assert_array_equal(mk, np.sort(keys, axis=1))
+            for r in range(4):
+                assert (sorted(zip(mk[r].tolist(), mp[r].tolist()))
+                        == sorted(zip(keys[r].tolist(), payload[r].tolist())))
+
     def test_bitonic_sort(self, rng):
         from scalablevectorsearch_tpu.ops.pallas.beam_update import (
             bitonic_sort)
@@ -138,3 +154,133 @@ class TestBeamUpdate:
             for r in range(16):
                 assert (sorted(zip(sk[r].tolist(), sp[r].tolist()))
                         == sorted(zip(keys[r].tolist(), payload[r].tolist())))
+
+
+class TestBeamStep:
+    """Fully-fused beam-step kernel (score + dedup + merge + pop) vs a
+    brute-force model of one reference greedy-search iteration
+    (greedy_search.h:124-203)."""
+
+    @staticmethod
+    def _brute(beam_keys, beam_packed, vecs, cand_ids, queries, metric,
+               window, m):
+        B, C = beam_keys.shape
+        K = cand_ids.shape[1]
+        out_keys = np.full((B, C), np.inf, np.float32)
+        out_packed = np.full((B, C), -1, np.int64)
+        popped = np.full((B, m), -1, np.int32)
+        pools = [set() for _ in range(B)]
+        for bi in range(B):
+            q = queries[bi].astype(np.float64)
+            entries = {}
+            for ci in range(C):
+                if np.isfinite(beam_keys[bi, ci]):
+                    entries[int(beam_packed[bi, ci]) & ((1 << 30) - 1)] = (
+                        float(beam_keys[bi, ci]),
+                        (int(beam_packed[bi, ci]) >> 30) & 1)
+            seen = set()
+            for ki in range(K):
+                cid = int(cand_ids[bi, ki])
+                if cid < 0 or cid in seen:
+                    continue
+                seen.add(cid)
+                x = vecs[bi, ki].astype(np.float64)
+                dot = float(x @ q)
+                if metric == 1:
+                    key = -dot
+                elif metric == 0:
+                    key = max(float(q @ q) - 2 * dot + float(x @ x), 0.0)
+                else:
+                    key = -dot / (np.sqrt(max(q @ q, 1e-30))
+                                  * np.sqrt(max(x @ x, 1e-30)))
+                pools[bi].add(cid)  # pool keeps beam-resident dups too
+                if cid not in entries:
+                    entries[cid] = (key, 0)
+            items = sorted(entries.items(), key=lambda kv: kv[1][0])[:C]
+            pops = []
+            for j, (cid, (key, vis)) in enumerate(items):
+                if len(pops) < m and j < window and vis == 0:
+                    vis = 1
+                    pops.append(cid)
+                out_keys[bi, j] = key
+                out_packed[bi, j] = cid | (vis << 30)
+            for j, pid in enumerate(pops):
+                popped[bi, j] = pid
+        return out_keys, out_packed, popped, pools
+
+    def _case(self, rng, B, C, K, d, n_ids=400):
+        beam_ids = np.stack([rng.choice(n_ids, C, replace=False)
+                             for _ in range(B)]).astype(np.int32)
+        beam_keys = np.sort(
+            rng.normal(size=(B, C)).astype(np.float32) ** 2, axis=1)
+        vis = (rng.random((B, C)) < 0.5).astype(np.int32)
+        for bi in range(B):
+            nv = rng.integers(0, C // 3 + 1)
+            if nv:
+                beam_keys[bi, C - nv:] = np.inf
+        beam_packed = np.where(np.isfinite(beam_keys),
+                               beam_ids | (vis << 30), -1).astype(np.int32)
+        cand_ids = rng.choice(n_ids, (B, K)).astype(np.int32)
+        cand_ids[rng.random((B, K)) < 0.2] = -1
+        table = rng.normal(size=(n_ids, d)).astype(np.float32)
+        vecs = table[np.maximum(cand_ids, 0)]
+        queries = rng.normal(size=(B, d)).astype(np.float32)
+        return beam_keys, beam_packed, vecs, cand_ids, queries
+
+    @pytest.mark.parametrize("metric", [0, 1, 2])
+    @pytest.mark.parametrize("shape", [(8, 16, 32, 128, 12, 2),
+                                       (16, 48, 128, 128, 48, 4),
+                                       (8, 24, 8, 64, 24, 4)])
+    def test_matches_brute_force(self, rng, metric, shape):
+        from scalablevectorsearch_tpu.ops.pallas.beam_step import (
+            beam_step, beam_step_reference)
+        B, C, K, d, window, m = shape
+        bk, bp, vecs, cids, q = self._case(rng, B, C, K, d)
+        args = (jnp.asarray(bk), jnp.asarray(bp), jnp.asarray(vecs),
+                jnp.asarray(cids), jnp.asarray(q))
+        ref = beam_step_reference(*args, metric=metric, window=window, m=m)
+        ker = beam_step(*args, metric=metric, window=window, m=m,
+                        interpret=True, block_rows=8)
+        for name, r, kk in zip(("keys", "packed", "popped", "pool_keys",
+                                "pool_ids"), ref, ker):
+            np.testing.assert_allclose(np.asarray(r), np.asarray(kk),
+                                       rtol=1e-5, atol=1e-5, err_msg=name)
+        ek, ep, epop, epools = self._brute(bk, bp, vecs, cids, q, metric,
+                                           window, m)
+        rk, rp, rpop = (np.asarray(ref[0]), np.asarray(ref[1]),
+                        np.asarray(ref[2]))
+        fin = np.isfinite(ek)
+        np.testing.assert_allclose(np.where(fin, rk, 0),
+                                   np.where(fin, ek, 0), rtol=1e-4, atol=1e-4)
+        assert np.all((rp & ((1 << 30) - 1))[fin] == (ep & ((1 << 30) - 1))[fin])
+        assert np.all((rp >> 30)[fin] == (ep >> 30)[fin])
+        np.testing.assert_array_equal(rpop, epop)
+        pk, pi = np.asarray(ref[3]), np.asarray(ref[4])
+        for bi in range(B):
+            got = {int(pi[bi, j]) for j in range(pk.shape[1])
+                   if np.isfinite(pk[bi, j])}
+            assert got == epools[bi]
+
+    def test_search_kernel_path_end_to_end(self, rng, monkeypatch):
+        """greedy_search with the kernel path (interpret mode) returns the
+        same neighbors as the XLA path."""
+        import jax as _jax
+        from scalablevectorsearch_tpu.index.vamana.index import VamanaIndex
+        from scalablevectorsearch_tpu.index.vamana.params import (
+            VamanaBuildParameters)
+        import scalablevectorsearch_tpu as svt
+        data, queries = svt.generate_test_dataset(300, 37, 64, seed=7)
+        params = VamanaBuildParameters(graph_max_degree=16, window_size=24,
+                                       max_candidate_pool_size=60,
+                                       prune_to=14)
+        index = VamanaIndex.build(params, data, "l2")
+        index.search_window_size = 13  # odd shapes: off the jit-cache paths
+        res_xla = index.search(queries, 7)
+        monkeypatch.setenv("SVT_FORCE_BEAM_KERNEL", "1")
+        _jax.clear_caches()  # env is read at trace time
+        res_kernel = index.search(queries, 7)
+        monkeypatch.delenv("SVT_FORCE_BEAM_KERNEL")
+        _jax.clear_caches()
+        ids_x = np.sort(np.asarray(res_xla.ids), axis=1)
+        ids_k = np.sort(np.asarray(res_kernel.ids), axis=1)
+        assert (ids_x == ids_k).mean() > 0.98  # fp tie-breaks allowed

