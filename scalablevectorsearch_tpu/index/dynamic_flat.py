@@ -76,6 +76,9 @@ class DynamicFlatIndex:
         qb = self.query_batch_size
         out_ids = np.empty((nq, k), dtype=np.int64)
         out_vals = np.empty((nq, k), dtype=np.float32)
+        # dispatch all batches, start all device->host copies, then read —
+        # per-batch blocking reads each cost a tunnel round trip
+        pending = []
         for start in range(0, nq, qb):
             stop = min(start + qb, nq)
             batch = dt.pad_matrix(queries[start:stop].astype(np.float32),
@@ -84,11 +87,17 @@ class DynamicFlatIndex:
             keys, ids = flat_search_kernel(
                 data, jnp.asarray(batch), k, tile, self.distance,
                 row_mask=mask)
-            slots = np.asarray(ids[: stop - start])
+            vals = dist_ops.value_from_key(self.distance,
+                                           keys[: stop - start])
+            pending.append((start, stop, ids[: stop - start], vals))
+        for _start, _stop, ids, vals in pending:
+            ids.copy_to_host_async()
+            vals.copy_to_host_async()
+        for start, stop, ids, vals in pending:
+            slots = np.asarray(ids)
             out_ids[start:stop] = np.where(
                 slots >= 0, self.translator.to_external(slots), -1)
-            out_vals[start:stop] = np.asarray(dist_ops.value_from_key(
-                self.distance, keys))[: stop - start]
+            out_vals[start:stop] = np.asarray(vals)
         return QueryResult(ids=out_ids, distances=out_vals)
 
     # -- mutation ------------------------------------------------------------------

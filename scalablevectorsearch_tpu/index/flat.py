@@ -134,11 +134,17 @@ class FlatIndex:
             keys, ids = flat_search_kernel(
                 self.data, jnp.asarray(batch), k, self._tile, self.distance,
                 row_mask=mask_dev)
-            pending.append((start, stop, keys, ids))
-        for start, stop, keys, ids in pending:
-            all_ids[start:stop] = np.asarray(ids[: stop - start])
-            all_vals[start:stop] = np.asarray(dist_ops.value_from_key(
-                self.distance, keys[: stop - start]))
+            vals = dist_ops.value_from_key(self.distance,
+                                           keys[: stop - start])
+            pending.append((start, stop, vals, ids[: stop - start]))
+        # start every device->host copy before the first blocking read (each
+        # blocking transfer costs a full tunnel round trip)
+        for _start, _stop, vals, ids in pending:
+            vals.copy_to_host_async()
+            ids.copy_to_host_async()
+        for start, stop, vals, ids in pending:
+            all_ids[start:stop] = np.asarray(ids)
+            all_vals[start:stop] = np.asarray(vals)
         return QueryResult(ids=all_ids, distances=all_vals)
 
     # -- persistence -----------------------------------------------------------

@@ -224,6 +224,9 @@ class InvertedIndex:
         eps = jnp.float32(params.refinement_epsilon)
         out_ids = np.empty((nq, k), dtype=np.int64)
         out_vals = np.empty((nq, k), dtype=np.float32)
+        # dispatch all batches, start all device->host copies, then read —
+        # per-batch blocking reads each cost a tunnel round trip
+        pending = []
         for start in range(0, nq, qb):
             stop = min(start + qb, nq)
             batch = dt.pad_matrix(queries[start:stop].astype(np.float32),
@@ -236,9 +239,15 @@ class InvertedIndex:
                 max_iters=vamana_search.default_max_iters(window),
                 max_probes=max_probes, keep=k, slot=self.slot, sub=sub,
                 distance=self.distance)
-            out_ids[start:stop] = np.asarray(ids[: stop - start])
-            out_vals[start:stop] = np.asarray(dist_ops.value_from_key(
-                self.distance, keys))[: stop - start]
+            vals = dist_ops.value_from_key(self.distance,
+                                           keys[: stop - start])
+            pending.append((start, stop, ids[: stop - start], vals))
+        for _start, _stop, ids, vals in pending:
+            ids.copy_to_host_async()
+            vals.copy_to_host_async()
+        for start, stop, ids, vals in pending:
+            out_ids[start:stop] = np.asarray(ids)
+            out_vals[start:stop] = np.asarray(vals)
         return QueryResult(ids=out_ids, distances=out_vals)
 
     # -- persistence ----------------------------------------------------------------

@@ -132,6 +132,9 @@ class DynamicIVFIndex:
         qb = self.query_batch_size
         out_ids = np.empty((nq, k), dtype=np.int64)
         out_vals = np.empty((nq, k), dtype=np.float32)
+        # dispatch all batches, start all device->host copies, then read —
+        # per-batch blocking reads each cost a tunnel round trip
+        pending = []
         for start in range(0, nq, qb):
             stop = min(start + qb, nq)
             batch = dt.pad_matrix(queries[start:stop].astype(np.float32),
@@ -141,12 +144,17 @@ class DynamicIVFIndex:
                 self.centroids, self.centroid_norms, self.data,
                 self.ids_padded, jnp.asarray(batch), n_probes=n_probes,
                 keep=keep, slot=self.slot, sub=sub, distance=self.distance)
-            keys, slots = keys[:, :k], slots[:, :k]
-            s = np.asarray(slots[: stop - start])
+            vals = dist_ops.value_from_key(
+                self.distance, keys[: stop - start, :k])
+            pending.append((start, stop, slots[: stop - start, :k], vals))
+        for _start, _stop, slots, vals in pending:
+            slots.copy_to_host_async()
+            vals.copy_to_host_async()
+        for start, stop, slots, vals in pending:
+            s = np.asarray(slots)
             out_ids[start:stop] = np.where(
                 s >= 0, self.translator.to_external(np.maximum(s, 0)), -1)
-            out_vals[start:stop] = np.asarray(dist_ops.value_from_key(
-                self.distance, keys[: stop - start]))
+            out_vals[start:stop] = np.asarray(vals)
         return QueryResult(ids=out_ids, distances=out_vals)
 
     # -- mutation -----------------------------------------------------------------

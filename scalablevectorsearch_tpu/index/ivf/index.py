@@ -233,6 +233,9 @@ class IVFIndex:
         qb = self.query_batch_size
         out_ids = np.empty((nq, k), dtype=np.int64)
         out_vals = np.empty((nq, k), dtype=np.float32)
+        # dispatch all batches, start all device->host copies, then read —
+        # per-batch blocking reads each cost a tunnel round trip
+        pending = []
         for start in range(0, nq, qb):
             stop = min(start + qb, nq)
             batch = dt.pad_matrix(queries[start:stop].astype(np.float32),
@@ -248,9 +251,15 @@ class IVFIndex:
                                           k=k, distance=self.distance)
             else:
                 keys, ids = keys[:, :k], ids[:, :k]
-            out_ids[start:stop] = np.asarray(ids[: stop - start])
-            out_vals[start:stop] = np.asarray(dist_ops.value_from_key(
-                self.distance, keys[: stop - start]))
+            vals = dist_ops.value_from_key(self.distance,
+                                           keys[: stop - start])
+            pending.append((start, stop, ids[: stop - start], vals))
+        for _start, _stop, ids, vals in pending:
+            ids.copy_to_host_async()
+            vals.copy_to_host_async()
+        for start, stop, ids, vals in pending:
+            out_ids[start:stop] = np.asarray(ids)
+            out_vals[start:stop] = np.asarray(vals)
         return QueryResult(ids=out_ids, distances=out_vals)
 
     # -- persistence --------------------------------------------------------------------

@@ -99,7 +99,7 @@ def _prune_pools(data: VectorDataset, pool_ids, pool_keys, self_ids,
 @partial(jax.jit, static_argnames=(
     "window", "capacity", "max_iters", "distance", "pool_size",
     "gen_alpha", "rev_alpha", "prune_to", "max_degree", "prune_chunk",
-    "pop_width", "prune_pool"))
+    "pop_width", "prune_pool", "tail_frac"))
 def build_round(graph: NeighborGraph,
                 data: VectorDataset,
                 batch_ids: jax.Array,
@@ -110,7 +110,7 @@ def build_round(graph: NeighborGraph,
                 distance: dist_ops.DistanceType, pool_size: int,
                 gen_alpha: float, rev_alpha: float, prune_to: int,
                 max_degree: int, prune_chunk: int, pop_width: int = 4,
-                prune_pool: int = 0):
+                prune_pool: int = 0, tail_frac: int = 1):
     """One fully-fused synchronous build round over a batch of nodes:
     search -> prune -> commit -> reverse-edge append -> on-device overflow
     grouping -> reprune.  A single jit call with no host synchronization, so
@@ -129,7 +129,8 @@ def build_round(graph: NeighborGraph,
     out = search_mod.greedy_search(
         graph, data, queries, entry_ids,
         window=window, capacity=capacity, max_iters=max_iters,
-        distance=distance, pool_size=pool_size, pop_width=pop_width)
+        distance=distance, pool_size=pool_size, pop_width=pop_width,
+        tail_frac=tail_frac)
     pool_ids, pool_keys = out.pool_ids, out.pool_keys
 
     # --- merge current adjacency (vamana_build.h:424-441) ----------------
@@ -277,6 +278,7 @@ def build_graph(data: VectorDataset,
                 prune_chunk: int = 256,
                 pop_width: int = 2,
                 prune_pool: int = 0,
+                tail_frac: int = 1,
                 first_pass_window: Optional[int] = None,
                 logger=None,
                 timer: Optional[timing.Timer] = None,
@@ -333,7 +335,8 @@ def build_graph(data: VectorDataset,
                     gen_alpha=float(params.alpha),
                     rev_alpha=float(rev_alpha), prune_to=params.prune_to,
                     max_degree=r, prune_chunk=prune_chunk,
-                    pop_width=pop_width, prune_pool=prune_pool)
+                    pop_width=pop_width, prune_pool=prune_pool,
+                    tail_frac=tail_frac)
                 dropped_counts.append(dropped)
             jax.block_until_ready(graph.adjacency)
         logger.info("pass %d/%d complete (alpha=%.3f)", pass_idx + 1,

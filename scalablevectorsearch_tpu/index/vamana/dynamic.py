@@ -121,12 +121,15 @@ class MutableVamanaIndex:
         self.translator.insert(np.asarray(external_ids, dtype=np.int64),
                                np.arange(n, dtype=np.int64))
         self._search_parameters = VamanaSearchParameters()
+        self._packed = None          # packed neighborhoods (lazy)
+        self._packed_dtype = None    # None => packed serving disabled
+        self.tail_frac = 4           # lockstep tail compaction (search.py)
 
         # initial construction: the full two-pass static builder, then pad
         # the graph out to the blocked capacity
         graph, entry = build_mod.build_graph(
             self.data, self.parameters, self.distance, logger=self.logger,
-            pop_width=2)
+            pop_width=2, tail_frac=4)
         self.graph = graph.with_capacity(cap)
         self.entry_point = entry
 
@@ -162,7 +165,7 @@ class MutableVamanaIndex:
                 gen_alpha=float(p.alpha), rev_alpha=float(p.alpha),
                 prune_to=p.prune_to,
                 max_degree=p.graph_max_degree, prune_chunk=128,
-                pop_width=2)
+                pop_width=2, tail_frac=4)
 
     # -- properties -------------------------------------------------------------
     @property
@@ -189,6 +192,37 @@ class MutableVamanaIndex:
     def search_window_size(self, w: int) -> None:
         self._search_parameters = self._search_parameters.with_window(w)
 
+    # -- packed-neighborhood serving ------------------------------------------
+    def enable_packed_serving(self, dtype=jnp.bfloat16,
+                              chunk: int = 65536) -> None:
+        """Inline neighbor vectors for gather-bound serving (see
+        ``packed.pack_neighborhoods``).  Mutations that rewrite adjacency or
+        vectors (add / consolidate / compact) invalidate the packed array;
+        it is rebuilt lazily on the next search.  Soft deletes do NOT
+        invalidate it — deleted nodes stay traversable until consolidation
+        by design (dynamic_index.h soft-delete semantics), and the packed
+        contents map adjacency to vectors, which soft delete leaves intact."""
+        self._packed_dtype = dtype
+        self._packed_chunk = chunk
+        self._packed = None
+
+    def disable_packed_serving(self) -> None:
+        self._packed = None
+        self._packed_dtype = None
+
+    def _invalidate_packed(self) -> None:
+        self._packed = None
+
+    def _ensure_packed(self):
+        if self._packed_dtype is None:
+            return None
+        if self._packed is None:
+            from .packed import pack_neighborhoods
+            self._packed = pack_neighborhoods(
+                self.graph, self.data, self._packed_dtype,
+                chunk=self._packed_chunk)
+        return self._packed
+
     def all_ids(self) -> np.ndarray:
         """External ids currently in the index (reference all_ids)."""
         return np.sort(self.translator.all_external_ids())
@@ -207,6 +241,8 @@ class MutableVamanaIndex:
         window = max(cfg.search_window_size, k)
         capacity = max(cfg.search_buffer_capacity, window, 2 * k)
         max_iters = params.resolved_max_iters()
+        visited_size = (self.pop_width * max_iters
+                        if params.visited_set else 0)
 
         queries = np.asarray(queries)
         if queries.ndim == 1:
@@ -216,8 +252,12 @@ class MutableVamanaIndex:
             raise ValueError(f"query dim {dim} != dataset dim {self.data.dim}")
         qb = self.query_batch_size
         entry_ids = jnp.asarray([self.entry_point], dtype=jnp.int32)
+        packed = self._ensure_packed()
         out_ids = np.empty((nq, k), dtype=np.int64)
         out_vals = np.empty((nq, k), dtype=np.float32)
+        # dispatch all batches, start all device->host copies, then read —
+        # per-batch blocking reads each cost a tunnel round trip
+        pending = []
         for start in range(0, nq, qb):
             stop = min(start + qb, nq)
             batch = dt.pad_matrix(queries[start:stop].astype(np.float32),
@@ -226,13 +266,21 @@ class MutableVamanaIndex:
             out = search_mod.greedy_search(
                 self.graph, self.data, jnp.asarray(batch), entry_ids,
                 window=window, capacity=capacity, max_iters=max_iters,
-                distance=self.distance, pop_width=self.pop_width)
+                distance=self.distance, pop_width=self.pop_width,
+                packed=packed, tail_frac=self.tail_frac,
+                visited_size=visited_size)
             keys, ids = _drop_deleted(out.keys, out.ids, self.deleted_mask, k)
-            slots = np.asarray(ids[: stop - start])
+            vals = dist_ops.value_from_key(self.distance,
+                                           keys[: stop - start])
+            pending.append((start, stop, ids[: stop - start], vals))
+        for _start, _stop, ids, vals in pending:
+            ids.copy_to_host_async()
+            vals.copy_to_host_async()
+        for start, stop, ids, vals in pending:
+            slots = np.asarray(ids)
             out_ids[start:stop] = np.where(
                 slots >= 0, self.translator.to_external(slots), -1)
-            out_vals[start:stop] = np.asarray(dist_ops.value_from_key(
-                self.distance, keys))[: stop - start]
+            out_vals[start:stop] = np.asarray(vals)
         return QueryResult(ids=out_ids, distances=out_vals)
 
     # -- mutation ------------------------------------------------------------------
@@ -274,6 +322,7 @@ class MutableVamanaIndex:
         self.status[slots] = SLOT_VALID
         self.deleted_mask = self.deleted_mask.at[jnp.asarray(slots)].set(False)
         self._build_over(slots)
+        self._invalidate_packed()
         return slots
 
     def delete_points(self, external_ids) -> None:
@@ -318,6 +367,7 @@ class MutableVamanaIndex:
         self.status[deleted] = SLOT_EMPTY
         self.deleted_mask = self.deleted_mask.at[jnp.asarray(deleted)].set(
             False)
+        self._invalidate_packed()
 
     def compact(self) -> None:
         """Dense remap: drop empty slots, shrink high-water
@@ -352,6 +402,7 @@ class MutableVamanaIndex:
         self.deleted_mask = jnp.asarray(
             new_status == SLOT_DELETED)
         self.translator.remap(old_to_new)
+        self._invalidate_packed()
         self._reset_entry_point()
 
     # -- distance + persistence ---------------------------------------------
@@ -436,6 +487,9 @@ class MutableVamanaIndex:
         obj.translator.insert(ext[valid_live], valid_live)
         obj.entry_point = int(table["entry_point"])
         obj._search_parameters = VamanaSearchParameters()
+        obj._packed = None
+        obj._packed_dtype = None
+        obj.tail_frac = 4
         return obj
 
     def _reset_entry_point(self) -> None:

@@ -95,6 +95,9 @@ class VamanaIndex:
         self.query_batch_size = query_batch_size
         self.logger = logger
         self._packed = None  # packed neighborhoods (enable_packed_serving)
+        # lockstep tail compaction (search.py greedy_search tail_frac):
+        # finish each batch's stragglers on a 1/4-size compacted slice
+        self.tail_frac = 4
 
     # -- construction ---------------------------------------------------------
     @classmethod
@@ -106,6 +109,7 @@ class VamanaIndex:
               dtype=None,
               batch_size: Optional[int] = None,
               pop_width: int = 2,
+              build_tail_frac: int = 4,
               first_pass_window: Optional[int] = None,
               timer: Optional[timing.Timer] = None,
               logger=None,
@@ -124,7 +128,8 @@ class VamanaIndex:
             if getattr(data, "residual_bits", 0) else data
         graph, entry = build_mod.build_graph(
             build_data, parameters, distance, batch_size=batch_size,
-            pop_width=pop_width, first_pass_window=first_pass_window,
+            pop_width=pop_width, tail_frac=build_tail_frac,
+            first_pass_window=first_pass_window,
             timer=timer, logger=logger)
         return cls(graph, data, entry, distance,
                    build_parameters=parameters, logger=logger, **kwargs)
@@ -188,6 +193,9 @@ class VamanaIndex:
         window = max(cfg.search_window_size, k)
         capacity = max(cfg.search_buffer_capacity, window, k)
         max_iters = params.resolved_max_iters()
+        # exact visited filter: a ring of pop_width * max_iters ids holds
+        # every expansion the bounded loop can make
+        visited_size = 4 * max_iters if params.visited_set else 0
 
         queries = np.asarray(queries)
         if queries.ndim == 1:
@@ -218,18 +226,28 @@ class VamanaIndex:
             out = search_mod.greedy_search(
                 self.graph, self.data, jnp.asarray(batch), entry_ids,
                 window=window, capacity=capacity, max_iters=max_iters,
-                distance=self.distance, packed=self._packed)
+                distance=self.distance, packed=self._packed,
+                tail_frac=self.tail_frac, visited_size=visited_size)
             res_ids, res_keys = out.ids, out.keys
             if rerank_view is not None:
                 from ...index.ivf.index import rerank_kernel
                 res_keys, res_ids = rerank_kernel(
                     rerank_view, jnp.asarray(batch), None, out.ids, k=k,
                     distance=self.distance)
-            pending.append((start, stop, res_ids, res_keys))
-        for start, stop, res_ids, res_keys in pending:
-            out_ids[start:stop] = np.asarray(res_ids[: stop - start, :k])
-            out_vals[start:stop] = np.asarray(dist_ops.value_from_key(
-                self.distance, res_keys[: stop - start, :k]))
+            # slice to (rows, k) on device and start the device->host copy
+            # without blocking: each blocking transfer costs a full tunnel
+            # round trip (~45 ms), so all batches' results go in flight
+            # before the first is read.
+            ids_k = res_ids[: stop - start, :k]
+            vals_k = dist_ops.value_from_key(
+                self.distance, res_keys[: stop - start, :k])
+            pending.append((start, stop, ids_k, vals_k))
+        for _start, _stop, ids_k, vals_k in pending:
+            ids_k.copy_to_host_async()
+            vals_k.copy_to_host_async()
+        for start, stop, ids_k, vals_k in pending:
+            out_ids[start:stop] = np.asarray(ids_k)
+            out_vals[start:stop] = np.asarray(vals_k)
         return QueryResult(ids=out_ids, distances=out_vals)
 
     # -- reconstruction -----------------------------------------------------------

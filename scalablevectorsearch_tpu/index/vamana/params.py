@@ -104,6 +104,11 @@ class VamanaSearchParameters:
     buffer_config: SearchBufferConfig = dataclasses.field(
         default_factory=SearchBufferConfig)
     search_history: bool = False      # visited-set analog: tracked pool
+    # cross-iteration visited filter (reference search_buffer_visited_set,
+    # search_params.h / filter.h:46): drop candidates already expanded even
+    # after their beam entry was evicted.  Off by default, like the
+    # reference — the beam's visited flags bound revisits in practice.
+    visited_set: bool = False
     prefetch_lookahead: int = 0
     prefetch_step: int = 0
     max_iters: int = UNSPECIFIED
@@ -128,6 +133,7 @@ class VamanaSearchParameters:
             "search_window_size": self.buffer_config.search_window_size,
             "search_buffer_capacity": self.buffer_config.search_buffer_capacity,
             "search_history": self.search_history,
+            "visited_set": self.visited_set,
             "prefetch_lookahead": self.prefetch_lookahead,
             "prefetch_step": self.prefetch_step,
             "max_iters": self.max_iters,
@@ -141,6 +147,7 @@ class VamanaSearchParameters:
                 table["search_window_size"],
                 table["search_buffer_capacity"]),
             search_history=table.get("search_history", False),
+            visited_set=table.get("visited_set", False),
             prefetch_lookahead=table.get("prefetch_lookahead", 0),
             prefetch_step=table.get("prefetch_step", 0),
             max_iters=table.get("max_iters", UNSPECIFIED),

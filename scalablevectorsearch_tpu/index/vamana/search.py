@@ -65,8 +65,33 @@ class SearchOutput:
     pool_keys: jax.Array  # (B, P) f32
 
 
+def _compact_tail_phase(state, queries, b2, make_cond, make_body, active_of):
+    """Finish a lockstep search on a compacted straggler slice.
+
+    ``state`` is ``(it, *row_arrays)`` where every array after the iteration
+    counter is row-indexed by query.  Unconverged queries (``active_of``)
+    are permuted to a dense prefix, the loop continues on the first ``b2``
+    rows only (per-iteration cost — dominated by the HBM row gather — is
+    linear in rows), and the finished rows are scattered back in order.
+    """
+    it0, *rows_state = state
+    active = active_of(state)
+    order = jnp.argsort(~active)          # stable: active rows first
+    inv = jnp.argsort(order)
+    perm = [x[order] for x in rows_state]
+    sub = tuple(x[:b2] for x in perm)
+    q_sub = queries[order][:b2]
+    sub_state = jax.lax.while_loop(make_cond(0), make_body(q_sub),
+                                   (it0,) + sub)
+    it1, *sub_rows = sub_state
+    merged = [jnp.concatenate([s, px[b2:]], axis=0)[inv]
+              for s, px in zip(sub_rows, perm)]
+    return (it1, *merged)
+
+
 @partial(jax.jit, static_argnames=(
-    "window", "capacity", "max_iters", "distance", "pool_size", "pop_width"))
+    "window", "capacity", "max_iters", "distance", "pool_size", "pop_width",
+    "tail_frac", "visited_size"))
 def greedy_search(graph: NeighborGraph,
                   data: VectorDataset,
                   queries: jax.Array,
@@ -78,7 +103,9 @@ def greedy_search(graph: NeighborGraph,
                   distance: dist_ops.DistanceType,
                   pool_size: int = 0,
                   pop_width: int = 4,
-                  packed: Optional[jax.Array] = None) -> SearchOutput:
+                  packed: Optional[jax.Array] = None,
+                  tail_frac: int = 1,
+                  visited_size: int = 0) -> SearchOutput:
     """Run lockstep greedy search for a batch of queries.
 
     Args:
@@ -104,6 +131,22 @@ def greedy_search(graph: NeighborGraph,
         m*R row gathers — the HBM gather is per-row limited, PERF.md).  When
         the packed dtype is lossy (bf16), the final beam is re-scored
         against the exact rows.
+      tail_frac: lockstep tail compaction.  1 = off (single full-batch
+        loop).  For tail_frac = F > 1, the full-batch loop runs only until
+        <= B/F queries remain unconverged; those stragglers are then
+        permuted into a dense prefix and the loop continues on the B/F-row
+        slice — per-iteration cost (the HBM row gather) is linear in rows,
+        so the batch stops paying full price for its slowest queries.  The
+        reference has no analog (its per-query threads finish
+        independently); this recovers that property for lockstep batches.
+      visited_size: cross-iteration visited filter (the lockstep analog of
+        the reference's opt-in ``VisitedFilter``, vamana/filter.h:46).
+        0 = off: the beam's visited flags + dedup masks bound revisits in
+        practice, but a node evicted from the beam and re-encountered later
+        can re-expand.  > 0 = keep a per-query ring of the last
+        ``visited_size`` popped ids and drop candidates already in it —
+        bounded memory, exact for searches with <= visited_size pops.
+        Rounded up to a multiple of ``pop_width``.
 
     Returns: SearchOutput with beams sorted ascending by key.
     """
@@ -168,6 +211,10 @@ def greedy_search(graph: NeighborGraph,
     iota_c = jnp.arange(c, dtype=jnp.int32)
     window_mask = (iota_c < window)[None, :]
     m = pop_width
+    # cross-iteration visited ring (multiple of m so each iteration writes
+    # one contiguous m-block and wrap-around stays aligned)
+    v = -(-visited_size // m) * m if visited_size > 0 else 0
+    ring0 = jnp.full((b, max(v, 1)), -1, jnp.int32)[:, :v]
 
     # Fully-fused beam-step Pallas kernel (TPU only): candidate scoring +
     # dedup + bitonic merge + pop selection in one VMEM-resident kernel —
@@ -199,47 +246,72 @@ def greedy_search(graph: NeighborGraph,
             jnp.isfinite(beam_keys),
             beam_ids + jnp.where(in_win0, VIS_BIT, 0), -1)
 
-        def cond_k(state):
-            it, bk, bp, popped, n_pops, pool_ids, pool_keys = state
-            return jnp.logical_and(it < max_iters, jnp.any(popped >= 0))
+        def make_cond(thresh):
+            def cond_k(state):
+                it, bk, bp, popped, n_pops, pool_ids, pool_keys, ring = state
+                n_active = jnp.sum(jnp.any(popped >= 0, axis=1))
+                return jnp.logical_and(it < max_iters, n_active > thresh)
+            return cond_k
 
-        def body_k(state):
-            it, bk, bp, popped, n_pops, pool_ids, pool_keys = state
-            has = popped >= 0                               # (B, m)
-            n_pops = n_pops + jnp.sum(has, axis=1, dtype=jnp.int32)
-            popped_flat = jnp.maximum(popped, 0).reshape(-1)
-            nbrs = graph.neighbors(popped_flat)
-            nbrs = nbrs.reshape(b, m * r)
-            nbrs = jnp.where(jnp.repeat(has, r, axis=1), nbrs, -1)
-            nbrs = jnp.where(nbrs < n_data, nbrs, -1)
-            if packed is not None:
-                # m super-row gathers/query instead of m*r row gathers; rows
-                # of masked ids are garbage and masked by id in the kernel
-                vecs = jnp.take(packed, popped_flat, axis=0, mode="clip")
-                vecs = vecs.reshape(b, m * r, packed.shape[2])
-            else:
-                vecs = data.get(jnp.maximum(nbrs, 0))
-            bk, bp, popped, cand_keys, cand_ids = beam_step(
-                bk, bp, vecs, nbrs, queries, metric=metric_code,
-                window=window, m=m,
-                interpret=bool(force_kernel
-                               and jax.default_backend() != "tpu"))
-            if track:
-                # mask candidates already pooled: hub nodes are re-scored
-                # every time they appear in another expansion, and their
-                # copies would crowd the pool down to a handful of unique
-                # ids (catastrophic for MIP graphs, which are hub-heavy —
-                # measured pool uniqueness ~14/250 without this mask)
-                cand_keys = topk_ops.mask_duplicate_ids(
-                    cand_keys, cand_ids, pool_ids)
-                pool_keys, pool_ids = topk_ops.merge_smallest(
-                    pool_keys, pool_ids, cand_keys, cand_ids, p)
-            return (it + 1, bk, bp, popped, n_pops, pool_ids, pool_keys)
+        def make_body(q_rows):
+            rows = q_rows.shape[0]
+
+            def body_k(state):
+                it, bk, bp, popped, n_pops, pool_ids, pool_keys, ring = state
+                has = popped >= 0                           # (rows, m)
+                n_pops = n_pops + jnp.sum(has, axis=1, dtype=jnp.int32)
+                popped_flat = jnp.maximum(popped, 0).reshape(-1)
+                nbrs = graph.neighbors(popped_flat)
+                nbrs = nbrs.reshape(rows, m * r)
+                nbrs = jnp.where(jnp.repeat(has, r, axis=1), nbrs, -1)
+                nbrs = jnp.where(nbrs < n_data, nbrs, -1)
+                if v:
+                    # visited-ring filter: record this iteration's pops,
+                    # drop candidates popped within the last v expansions
+                    ring = jax.lax.dynamic_update_slice(
+                        ring, jnp.where(has, popped, -1),
+                        (jnp.int32(0), (it * m) % v))
+                    seen = jnp.any(nbrs[:, :, None] == ring[:, None, :],
+                                   axis=-1)
+                    nbrs = jnp.where(seen, -1, nbrs)
+                if packed is not None:
+                    # m super-row gathers/query instead of m*r row gathers;
+                    # rows of masked ids are garbage, masked by id in-kernel
+                    vecs = jnp.take(packed, popped_flat, axis=0, mode="clip")
+                    vecs = vecs.reshape(rows, m * r, packed.shape[2])
+                else:
+                    vecs = data.get(jnp.maximum(nbrs, 0))
+                bk, bp, popped, cand_keys, cand_ids = beam_step(
+                    bk, bp, vecs, nbrs, q_rows, metric=metric_code,
+                    window=window, m=m,
+                    interpret=bool(force_kernel
+                                   and jax.default_backend() != "tpu"))
+                if track:
+                    # mask candidates already pooled: hub nodes are re-scored
+                    # every time they appear in another expansion, and their
+                    # copies would crowd the pool down to a handful of unique
+                    # ids (catastrophic for MIP graphs, which are hub-heavy —
+                    # measured pool uniqueness ~14/250 without this mask)
+                    cand_keys = topk_ops.mask_duplicate_ids(
+                        cand_keys, cand_ids, pool_ids)
+                    pool_keys, pool_ids = topk_ops.merge_smallest(
+                        pool_keys, pool_ids, cand_keys, cand_ids, p)
+                return (it + 1, bk, bp, popped, n_pops, pool_ids, pool_keys,
+                        ring)
+            return body_k
 
         state = (jnp.int32(0), beam_keys, beam_packed, popped,
-                 jnp.zeros((b,), jnp.int32), pool_ids0, pool_keys0)
-        it, beam_keys, beam_packed, popped, n_pops, pool_ids, pool_keys = \
-            jax.lax.while_loop(cond_k, body_k, state)
+                 jnp.zeros((b,), jnp.int32), pool_ids0, pool_keys0, ring0)
+        b2 = b // tail_frac if tail_frac > 1 else 0
+        compact_tail = tail_frac > 1 and b2 >= 8
+        state = jax.lax.while_loop(make_cond(b2 if compact_tail else 0),
+                                   make_body(queries), state)
+        if compact_tail:
+            state = _compact_tail_phase(
+                state, queries, b2, make_cond, make_body,
+                active_of=lambda s: jnp.any(s[3] >= 0, axis=1))
+        it, beam_keys, beam_packed, popped, n_pops, pool_ids, pool_keys, \
+            _ring = state
         beam_ids = jnp.where(jnp.isfinite(beam_keys),
                              beam_packed & (VIS_BIT - 1), -1)
         if packed is not None and packed.dtype != data.dtype:
@@ -255,77 +327,116 @@ def greedy_search(graph: NeighborGraph,
     def unvisited_mask(keys, vis):
         return jnp.isfinite(keys) & (vis == 0) & window_mask
 
-    def cond(state):
-        it, beam_ids, beam_keys, beam_vis, n_pops, pool_ids, pool_keys = state
-        active = jnp.any(unvisited_mask(beam_keys, beam_vis))
-        return jnp.logical_and(it < max_iters, active)
+    def make_cond(thresh):
+        def cond(state):
+            it, beam_ids, beam_keys, beam_vis, n_pops, pool_ids, \
+                pool_keys, ring = state
+            n_active = jnp.sum(
+                jnp.any(unvisited_mask(beam_keys, beam_vis), axis=1))
+            return jnp.logical_and(it < max_iters, n_active > thresh)
+        return cond
 
     big = jnp.int32(c + 1)
 
-    def body(state):
-        it, beam_ids, beam_keys, beam_vis, n_pops, pool_ids, pool_keys = state
-        unvis = unvisited_mask(beam_keys, beam_vis)
-        # first m unvisited positions (beam sorted => best m)
-        pos_score = jnp.where(unvis, iota_c[None, :], big)
-        neg, _ = jax.lax.top_k(-pos_score, m)          # (B, m)
-        pos = -neg
-        has = pos < big                                 # (B, m) valid pops
-        pos_c = jnp.minimum(pos, c - 1)
-        popped = jnp.take_along_axis(beam_ids, pos_c, axis=1)   # (B, m)
+    def make_body(q_rows):
+        rows = q_rows.shape[0]
+        q_norms_rows = jnp.sum(q_rows.astype(jnp.float32) ** 2, axis=-1)
 
-        # mark popped visited
-        hit = jnp.any((iota_c[None, None, :] == pos_c[:, :, None])
-                      & has[:, :, None], axis=1)
-        beam_vis = jnp.where(hit, 1, beam_vis)
-        n_pops = n_pops + jnp.sum(has, axis=1, dtype=jnp.int32)
+        def score_rows(ids):
+            if custom_score is not None:
+                return custom_score(distance, q_rows, q_norms_rows, ids)
+            clamped = jnp.maximum(ids, 0)
+            vecs = data.get(clamped)
+            keys = dist_ops.gathered_keys(distance, q_rows, vecs,
+                                          query_norms_sq=q_norms_rows)
+            in_range = (ids >= 0) & (ids < data.n)
+            return jnp.where(in_range, keys, jnp.inf)
 
-        # expand: adjacency gather + candidate scoring, m rows per query
-        popped_flat = jnp.maximum(popped, 0).reshape(-1)
-        nbrs = graph.neighbors(popped_flat)
-        nbrs = nbrs.reshape(b, m * r)
-        nbrs = jnp.where(jnp.repeat(has, r, axis=1), nbrs, -1)
-        if packed is not None:
-            vecs = jnp.take(packed, popped_flat, axis=0, mode="clip")
-            vecs = vecs.reshape(b, m * r, packed.shape[2])
-            cand_keys = dist_ops.gathered_keys(distance, queries, vecs,
-                                               query_norms_sq=q_norms)
-            cand_keys = jnp.where((nbrs >= 0) & (nbrs < data.n),
-                                  cand_keys, jnp.inf)
-        else:
-            cand_keys = score(nbrs)
-        cand_keys = topk_ops.mask_first_duplicates(cand_keys, nbrs)
+        def body(state):
+            it, beam_ids, beam_keys, beam_vis, n_pops, pool_ids, \
+                pool_keys, ring = state
+            unvis = unvisited_mask(beam_keys, beam_vis)
+            # first m unvisited positions (beam sorted => best m)
+            pos_score = jnp.where(unvis, iota_c[None, :], big)
+            neg, _ = jax.lax.top_k(-pos_score, m)          # (rows, m)
+            pos = -neg
+            has = pos < big                                # (rows, m) valid
+            pos_c = jnp.minimum(pos, c - 1)
+            popped = jnp.take_along_axis(beam_ids, pos_c, axis=1)
 
-        if track:
-            # mask candidates already pooled: without this, hub nodes
-            # re-scored across iterations fill the pool with duplicate
-            # copies and collapse its unique-candidate count (see the
-            # kernel path above; ~14/250 unique measured on MIP graphs)
-            pool_cand_keys = topk_ops.mask_duplicate_ids(
-                cand_keys, nbrs, pool_ids)
-            pool_keys, pool_ids = topk_ops.merge_smallest(
-                pool_keys, pool_ids, pool_cand_keys, nbrs, p)
+            # mark popped visited
+            hit = jnp.any((iota_c[None, None, :] == pos_c[:, :, None])
+                          & has[:, :, None], axis=1)
+            beam_vis = jnp.where(hit, 1, beam_vis)
+            n_pops = n_pops + jnp.sum(has, axis=1, dtype=jnp.int32)
 
-        # beam dedup + sort-merge insert (ids packed with visited flag)
-        cand_keys = topk_ops.mask_duplicate_ids(cand_keys, nbrs, beam_ids)
-        all_keys = jnp.concatenate([beam_keys, cand_keys], axis=1)
-        packed_rows = jnp.concatenate(
-            [beam_ids + beam_vis * VIS_BIT, nbrs], axis=1)
-        s_keys, s_packed = jax.lax.sort(
-            (all_keys, packed_rows), dimension=-1, num_keys=1)
-        keep = jnp.any(has, axis=1)[:, None]
-        new_packed = s_packed[:, :c]
-        # invalid (-1) entries unpack to garbage, but their keys stay +inf so
-        # every consumer masks them; final extraction restores -1.
-        beam_ids = jnp.where(keep, new_packed & (VIS_BIT - 1), beam_ids)
-        beam_vis = jnp.where(keep, new_packed >> 30, beam_vis)
-        beam_keys = jnp.where(keep, s_keys[:, :c], beam_keys)
-        return (it + 1, beam_ids, beam_keys, beam_vis, n_pops,
-                pool_ids, pool_keys)
+            # expand: adjacency gather + candidate scoring, m rows per query
+            popped_flat = jnp.maximum(popped, 0).reshape(-1)
+            nbrs = graph.neighbors(popped_flat)
+            nbrs = nbrs.reshape(rows, m * r)
+            nbrs = jnp.where(jnp.repeat(has, r, axis=1), nbrs, -1)
+            if v:
+                # visited-ring filter: record this iteration's pops, drop
+                # candidates popped within the last v expansions
+                ring = jax.lax.dynamic_update_slice(
+                    ring, jnp.where(has, popped, -1),
+                    (jnp.int32(0), (it * m) % v))
+                seen = jnp.any(nbrs[:, :, None] == ring[:, None, :],
+                               axis=-1)
+                nbrs = jnp.where(seen, -1, nbrs)
+            if packed is not None:
+                vecs = jnp.take(packed, popped_flat, axis=0, mode="clip")
+                vecs = vecs.reshape(rows, m * r, packed.shape[2])
+                cand_keys = dist_ops.gathered_keys(
+                    distance, q_rows, vecs, query_norms_sq=q_norms_rows)
+                cand_keys = jnp.where((nbrs >= 0) & (nbrs < data.n),
+                                      cand_keys, jnp.inf)
+            else:
+                cand_keys = score_rows(nbrs)
+            cand_keys = topk_ops.mask_first_duplicates(cand_keys, nbrs)
+
+            if track:
+                # mask candidates already pooled: without this, hub nodes
+                # re-scored across iterations fill the pool with duplicate
+                # copies and collapse its unique-candidate count (see the
+                # kernel path above; ~14/250 unique measured on MIP graphs)
+                pool_cand_keys = topk_ops.mask_duplicate_ids(
+                    cand_keys, nbrs, pool_ids)
+                pool_keys, pool_ids = topk_ops.merge_smallest(
+                    pool_keys, pool_ids, pool_cand_keys, nbrs, p)
+
+            # beam dedup + sort-merge insert (ids packed with visited flag)
+            cand_keys = topk_ops.mask_duplicate_ids(cand_keys, nbrs,
+                                                    beam_ids)
+            all_keys = jnp.concatenate([beam_keys, cand_keys], axis=1)
+            packed_rows = jnp.concatenate(
+                [beam_ids + beam_vis * VIS_BIT, nbrs], axis=1)
+            s_keys, s_packed = jax.lax.sort(
+                (all_keys, packed_rows), dimension=-1, num_keys=1)
+            keep = jnp.any(has, axis=1)[:, None]
+            new_packed = s_packed[:, :c]
+            # invalid (-1) entries unpack to garbage, but their keys stay
+            # +inf so every consumer masks them; final extraction restores
+            # -1.
+            beam_ids = jnp.where(keep, new_packed & (VIS_BIT - 1), beam_ids)
+            beam_vis = jnp.where(keep, new_packed >> 30, beam_vis)
+            beam_keys = jnp.where(keep, s_keys[:, :c], beam_keys)
+            return (it + 1, beam_ids, beam_keys, beam_vis, n_pops,
+                    pool_ids, pool_keys, ring)
+        return body
 
     state = (jnp.int32(0), beam_ids, beam_keys, beam_vis,
-             jnp.zeros((b,), jnp.int32), pool_ids0, pool_keys0)
-    it, beam_ids, beam_keys, beam_vis, n_pops, pool_ids, pool_keys = \
-        jax.lax.while_loop(cond, body, state)
+             jnp.zeros((b,), jnp.int32), pool_ids0, pool_keys0, ring0)
+    b2 = b // tail_frac if tail_frac > 1 else 0
+    compact_tail = tail_frac > 1 and b2 >= 8
+    state = jax.lax.while_loop(make_cond(b2 if compact_tail else 0),
+                               make_body(queries), state)
+    if compact_tail:
+        state = _compact_tail_phase(
+            state, queries, b2, make_cond, make_body,
+            active_of=lambda s: jnp.any(unvisited_mask(s[2], s[3]), axis=1))
+    it, beam_ids, beam_keys, beam_vis, n_pops, pool_ids, pool_keys, \
+        _ring = state
 
     beam_ids = jnp.where(jnp.isfinite(beam_keys), beam_ids, -1)
     if packed is not None and packed.dtype != data.dtype:

@@ -98,6 +98,43 @@ class TestMutableVamana:
         np.testing.assert_array_equal(
             index.all_ids(), np.sort(np.fromiter(ref.live, dtype=np.int64)))
 
+    def test_packed_serving_tracks_mutations(self, pool):
+        """Packed-neighborhood serving on the dynamic index: mutations that
+        rewrite adjacency invalidate the packed array (rebuilt lazily) and
+        search results stay consistent with the unpacked path."""
+        data, queries = pool
+        import jax.numpy as jnp
+        params = VamanaBuildParameters(graph_max_degree=16, window_size=32,
+                                       alpha=1.1)
+        index = MutableVamanaIndex(params, data[:600], np.arange(600), "l2")
+        index.search_window_size = 24
+        plain = index.search(queries[:32], 5)
+        # exact-dtype packing => identical traversal, identical results
+        index.enable_packed_serving(dtype=jnp.float32)
+        packed = index.search(queries[:32], 5)
+        np.testing.assert_array_equal(plain.ids, packed.ids)
+        assert index._packed is not None
+
+        # add: invalidates; next search repacks and can reach the new points
+        index.add_points(data[600:700], np.arange(600, 700))
+        assert index._packed is None
+        index.search(queries[:8], 5)
+        assert index._packed is not None
+
+        # soft delete does NOT invalidate, but deleted ids never surface
+        index.delete_points(np.arange(0, 50))
+        assert index._packed is not None
+        res = index.search(queries[:32], 5)
+        assert not np.isin(res.ids, np.arange(0, 50)).any()
+
+        # consolidate + compact invalidate; results stay sane
+        index.consolidate()
+        assert index._packed is None
+        index.compact()
+        res2 = index.search(queries[:32], 5)
+        assert (res2.ids >= 0).all()
+        assert not np.isin(res2.ids, np.arange(0, 50)).any()
+
     def test_entry_point_survives_deletion(self, pool):
         data, queries = pool
         params = VamanaBuildParameters(graph_max_degree=16, window_size=32)

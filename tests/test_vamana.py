@@ -44,6 +44,68 @@ class TestGreedySearch:
         gt = exhaustive_search(x, q, 10)
         np.testing.assert_array_equal(np.asarray(out.ids[:4, :10]), gt.ids)
 
+    def test_visited_filter(self, built_index, small_dataset, rng):
+        """Opt-in cross-iteration visited filter (reference filter.h:46):
+        exact on a complete graph, recall-neutral on a built graph."""
+        # complete graph: one expansion reaches all nodes; the filter must
+        # not drop anything needed for exactness
+        n, d = 60, 16
+        x = rng.normal(size=(n, d)).astype(np.float32)
+        data = VectorDataset.from_array(x)
+        adj = np.stack([np.delete(np.arange(n), i) for i in range(n)])
+        graph = NeighborGraph.from_array(adj.astype(np.int32))
+        q = rng.normal(size=(4, d)).astype(np.float32)
+        from scalablevectorsearch_tpu.lib.datatypes import pad_matrix
+        out = greedy_search(graph, data, jnp.asarray(pad_matrix(q)),
+                            jnp.asarray([0], dtype=jnp.int32),
+                            window=64, capacity=64, max_iters=200,
+                            distance="l2", visited_size=256)
+        gt = exhaustive_search(x, q, 10)
+        np.testing.assert_array_equal(np.asarray(out.ids[:4, :10]), gt.ids)
+
+        # built graph through the index surface: visited_set toggles the
+        # filter via search parameters; recall must not regress
+        data2, queries = small_dataset
+        idx = built_index
+        gt2 = exhaustive_search(data2, queries, 10)
+        idx.search_window_size = 24
+        base = k_recall_at_n(gt2, idx.search(queries, 10))
+        import dataclasses
+        params_on = dataclasses.replace(idx.search_parameters,
+                                        visited_set=True)
+        filt = k_recall_at_n(
+            gt2, idx.search(queries, 10, parameters=params_on))
+        assert filt >= base - 0.01
+
+    def test_tail_compaction_exact(self, built_index, small_dataset):
+        """tail_frac > 1 must be bit-identical to the single-loop path:
+        converged queries no-op in the full loop, so freezing them and
+        compacting the stragglers changes no per-query arithmetic."""
+        data, queries = small_dataset
+        from scalablevectorsearch_tpu.lib.datatypes import pad_matrix
+        idx = built_index
+        q = jnp.asarray(pad_matrix(queries[:64].astype(np.float32),
+                                   d_pad=idx.data.padded_dim))
+        entry = jnp.asarray([idx.entry_point], dtype=jnp.int32)
+        kw = dict(window=24, capacity=24, max_iters=64, distance="l2",
+                  pop_width=4)
+        base = greedy_search(idx.graph, idx.data, q, entry, **kw)
+        tail = greedy_search(idx.graph, idx.data, q, entry, tail_frac=4,
+                             **kw)
+        np.testing.assert_array_equal(np.asarray(base.ids),
+                                      np.asarray(tail.ids))
+        np.testing.assert_array_equal(np.asarray(base.keys),
+                                      np.asarray(tail.keys))
+        np.testing.assert_array_equal(np.asarray(base.n_pops),
+                                      np.asarray(tail.n_pops))
+        # build mode (pool tracking) under compaction: identical pools
+        base_p = greedy_search(idx.graph, idx.data, q, entry, pool_size=80,
+                               **kw)
+        tail_p = greedy_search(idx.graph, idx.data, q, entry, pool_size=80,
+                               tail_frac=4, **kw)
+        np.testing.assert_array_equal(np.asarray(base_p.pool_ids),
+                                      np.asarray(tail_p.pool_ids))
+
     def test_window_larger_than_graph_terminates(self, rng):
         x = rng.normal(size=(10, 8)).astype(np.float32)
         data = VectorDataset.from_array(x)
