@@ -407,7 +407,7 @@ def inverted_test_generator(job: dict) -> dict:
         expected.append({"distance": str(distance), "recalls": sweeps})
     out = {"schema": "inverted_expected_results", "version": "v0.0.1",
            "num_neighbors": k, "dataset": job.get("synthetic", {}),
-           "expected": expected}
+           "max_probes": job.get("max_probes", 16), "expected": expected}
     if "output_file" in job:
         with open(job["output_file"], "w") as f:
             json.dump(out, f, indent=2)
