@@ -68,7 +68,7 @@ def main():
     gt = svt.exhaustive_search(data, queries, k)
 
     best = None
-    for window in (10, 16, 24, 26, 28, 32, 48, 64, 96, 128):
+    for window in (10, 16, 20, 24, 26, 28, 32, 48, 64, 96, 128):
         index.search_window_size = window
         res = index.search(queries, k)       # warm compile + measure recall
         recall = svt.k_recall_at_n(gt, res)

@@ -276,7 +276,7 @@ def build_graph(data: VectorDataset,
                 entry_point: Optional[int] = None,
                 batch_size: Optional[int] = None,
                 prune_chunk: int = 256,
-                pop_width: int = 2,
+                pop_width: int = 4,
                 prune_pool: int = 0,
                 tail_frac: int = 1,
                 first_pass_window: Optional[int] = None,

@@ -129,7 +129,7 @@ class MutableVamanaIndex:
         # the graph out to the blocked capacity
         graph, entry = build_mod.build_graph(
             self.data, self.parameters, self.distance, logger=self.logger,
-            pop_width=2, tail_frac=4)
+            pop_width=4, tail_frac=4)
         self.graph = graph.with_capacity(cap)
         self.entry_point = entry
 
@@ -165,7 +165,7 @@ class MutableVamanaIndex:
                 gen_alpha=float(p.alpha), rev_alpha=float(p.alpha),
                 prune_to=p.prune_to,
                 max_degree=p.graph_max_degree, prune_chunk=128,
-                pop_width=2, tail_frac=4)
+                pop_width=4, tail_frac=4)
 
     # -- properties -------------------------------------------------------------
     @property

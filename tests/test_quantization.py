@@ -80,7 +80,9 @@ class TestLVQDataset:
     def test_vamana_over_lvq(self, small_dataset):
         data, queries = small_dataset
         lvq = LVQDataset.compress(data)
-        params = VamanaBuildParameters(graph_max_degree=24, window_size=48)
+        # alpha=1.1: honest-pool optimum on clustered data (PERF.md round 2)
+        params = VamanaBuildParameters(graph_max_degree=24,
+                                       window_size=48, alpha=1.1)
         idx = VamanaIndex.build(params, lvq, "l2", batch_size=256)
         idx.search_window_size = 30
         gt = svt.exhaustive_search(data, queries, 10)
@@ -151,12 +153,16 @@ class TestTwoLevelLVQ:
         at ~4.25 bits/dim primary."""
         data, queries = small_dataset
         lvq = LVQDataset.compress(data, bits=4, residual_bits=8)
-        params = VamanaBuildParameters(graph_max_degree=24, window_size=48)
+        # alpha=1.05: coarse 4-bit primary traversal wants a denser graph
+        # than exact f32 (honest-pool sweep: 1.05 -> 0.91, 1.1 -> 0.81,
+        # 1.2 -> 0.79 at w64 before the capacity split)
+        params = VamanaBuildParameters(graph_max_degree=24,
+                                       window_size=48, alpha=1.05)
         idx = VamanaIndex.build(params, lvq, "l2", batch_size=256)
         gt = svt.exhaustive_search(data, queries, 10)
         idx.search_window_size = 64
         rec = svt.k_recall_at_n(gt, idx.search(queries, 10))
-        assert rec >= 0.88
+        assert rec >= 0.9
         # reranking must not hurt vs the raw primary keys
         idx_raw = VamanaIndex(idx.graph, LVQDataset.compress(
             data, bits=4), idx.entry_point, "l2")
@@ -200,7 +206,9 @@ class TestLeanVec:
                 ).astype(np.float32)
         queries = ((rng.normal(size=(100, 48)) * scales) @ basis
                    ).astype(np.float32)
-        params = VamanaBuildParameters(graph_max_degree=24, window_size=48)
+        # alpha=1.1: honest-pool optimum on clustered data (PERF.md round 2)
+        params = VamanaBuildParameters(graph_max_degree=24,
+                                       window_size=48, alpha=1.1)
         lvv = LeanVecVamana.build(params, data, "l2", target_dim=16,
                                   rerank_multiplier=3)
         lvv.search_window_size = 40
@@ -212,7 +220,8 @@ class TestLeanVec:
         from scalablevectorsearch_tpu.quantization.leanvec import (
             LeanVecVamana)
         data, queries = small_dataset
-        params = VamanaBuildParameters(graph_max_degree=16, window_size=32)
+        params = VamanaBuildParameters(graph_max_degree=16, window_size=32,
+                                       alpha=1.1)
         lvv = LeanVecVamana.build(params, data[:500], "l2", target_dim=24)
         lvv.save(str(tmp_path / "lv"))
         lvv2 = LeanVecVamana.assemble(str(tmp_path / "lv"))
