@@ -98,7 +98,7 @@ def _prune_pools(data: VectorDataset, pool_ids, pool_keys, self_ids,
 
 @partial(jax.jit, static_argnames=(
     "window", "capacity", "max_iters", "distance", "pool_size",
-    "gen_alpha", "rev_alpha", "prune_to", "max_degree", "prune_chunk",
+    "prune_to", "max_degree", "prune_chunk",
     "pop_width", "prune_pool", "tail_frac"))
 def build_round(graph: NeighborGraph,
                 data: VectorDataset,
@@ -119,6 +119,11 @@ def build_round(graph: NeighborGraph,
     Returns (graph, dropped_backedges) where ``dropped_backedges`` counts
     overflow backedges beyond the static per-round capacities (rare; a
     quality-diagnostic only — the reference's BackedgeBuffer is unbounded).
+
+    ``gen_alpha`` / ``rev_alpha`` are TRACED (not static): the two build
+    passes differ only in the reverse-edge alpha, so keeping the alphas
+    dynamic lets every round of both passes reuse ONE compiled executable —
+    the dominant wall-time term at 1M through the remote compile service.
     """
     r = max_degree
     b = batch_ids.shape[0]
@@ -255,7 +260,7 @@ def _reprune_body(graph: NeighborGraph,
 
 
 reprune_nodes = partial(jax.jit, static_argnames=(
-    "alpha", "prune_to", "distance", "max_degree", "prune_chunk"))(
+    "prune_to", "distance", "max_degree", "prune_chunk"))(
         _reprune_body)
 
 

@@ -56,7 +56,7 @@ def _affected_by_deleted(adjacency: jax.Array, deleted_mask: jax.Array,
     return neigh_del.any(axis=1) & valid_mask[: adjacency.shape[0]]
 
 
-@partial(jax.jit, static_argnames=("prune_to", "alpha", "distance",
+@partial(jax.jit, static_argnames=("prune_to", "distance",
                                    "max_degree", "prune_chunk", "pool_cap"))
 def consolidate_round(graph: NeighborGraph, data: VectorDataset,
                       node_ids: jax.Array, node_valid: jax.Array,

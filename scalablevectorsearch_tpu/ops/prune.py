@@ -44,13 +44,13 @@ from . import distance as dist_ops
 _UNSELECTED = jnp.int32(2 ** 30)
 
 
-@partial(jax.jit, static_argnames=("alpha", "max_result", "distance"))
+@partial(jax.jit, static_argnames=("max_result", "distance"))
 def robust_prune(pool_ids: jax.Array,
                  pool_keys: jax.Array,
                  pool_vectors: jax.Array,
                  pool_norms_sq: jax.Array,
                  self_ids: jax.Array,
-                 alpha: float,
+                 alpha,
                  max_result: int,
                  distance: dist_ops.DistanceType
                  ) -> Tuple[jax.Array, jax.Array]:
@@ -62,7 +62,11 @@ def robust_prune(pool_ids: jax.Array,
       pool_vectors: (b, P, d) candidate vectors (already gathered).
       pool_norms_sq: (b, P) f32 squared norms of candidates.
       self_ids: (b,) the node each pool belongs to (excluded from results).
-      alpha: pruning parameter (static; >1 for L2, <1 for MIP/cosine).
+      alpha: pruning parameter (TRACED, not static — the two build passes
+        differ only in their reverse-edge alpha, and keeping it dynamic
+        lets both passes share one compiled executable; the remote-TPU
+        compile service is slow enough that this halves real build
+        wall-time at 1M).  > 1 for L2, < 1 for MIP/cosine.
       max_result: max neighbors to keep (static).
       distance: metric (static).
 
@@ -95,7 +99,11 @@ def robust_prune(pool_ids: jax.Array,
 
     progressive = distance == dist_ops.DistanceType.L2
     steps_per_round = max_result
-    n_rounds = 1 if alpha == 1.0 else 2
+    # always two alpha levels {1.0, alpha}; with a traced alpha == 1.0 the
+    # second round selects nothing new (same availability criterion), which
+    # matches the reference's single-round behavior exactly
+    n_rounds = 2
+    alpha = jnp.float32(alpha)
 
     sel_step0 = jnp.full((b, p), _UNSELECTED, dtype=jnp.int32)
     if progressive:
@@ -140,10 +148,12 @@ def robust_prune(pool_ids: jax.Array,
             prune_now = cur_alpha * pair_row > sims_q
             aux = jnp.where(later & has[:, None] & prune_now, 1.0, aux)
 
-        if not progressive and n_rounds == 2:
+        if not progressive:
             # reset pruned state at the round boundary (prune.h:168-172
-            # reenable); executes after the last step of round 0.
-            is_boundary = i == steps_per_round - 1
+            # reenable); executes after the last step of round 0.  No reset
+            # when alpha == 1.0 — the reference runs a single round there,
+            # and re-admitting pruned candidates would change its result.
+            is_boundary = (i == steps_per_round - 1) & (alpha != 1.0)
             aux = jnp.where(is_boundary, jnp.zeros_like(aux), aux)
         return sel_step, aux, n_sel
 

@@ -60,3 +60,57 @@ class TestInvertedIndex:
         assert inv.size == 4000 and inv.num_centroids == 400
         res = inv.search(queries[:8], 5)
         assert res.ids.shape == (8, 5)
+
+    def test_max_probes_bounds_work(self, built):
+        """More probes at a fixed epsilon may only help; tiny probe budgets
+        still return k valid results (memory_based.h probe cap)."""
+        index, data, queries, gt = built
+        recs = []
+        for probes in (2, 8, 32):
+            res = index.search(queries, 10, InvertedSearchParameters(
+                primary_window_size=32, refinement_epsilon=8.0,
+                max_probes=probes))
+            if probes >= 8:
+                # >= 8 postings always hold >= k candidates here; a 2-probe
+                # budget may legitimately return fewer than k (-1 padded)
+                assert (np.asarray(res.ids) >= 0).all()
+            recs.append(svt.k_recall_at_n(gt, res))
+        assert recs[0] <= recs[1] + 0.02 <= recs[2] + 0.04
+        assert recs[2] >= 0.8
+
+    def test_distances_match_exact(self, built):
+        """Returned distances are true L2^2 values for the returned ids
+        (value_from_key at the API boundary)."""
+        index, data, queries, gt = built
+        res = index.search(queries[:8], 5)
+        for qi in range(8):
+            for j in range(5):
+                i = int(res.ids[qi, j])
+                want = float(((queries[qi] - data[i]) ** 2).sum())
+                got = float(res.distances[qi, j])
+                assert abs(got - want) <= 1e-2 * max(want, 1.0)
+
+    def test_query_dim_mismatch_raises(self, built):
+        index, data, queries, gt = built
+        with pytest.raises(ValueError):
+            index.search(queries[:, :16], 5)
+
+
+class TestInvertedMIP:
+    def test_build_search_mip(self):
+        """MIP inverted flow: negated-IP keys through the epsilon cutoff
+        (the limit rule flips for negative keys) and the posting scan."""
+        from scalablevectorsearch_tpu.core.io import generate_test_dataset
+        data, queries = generate_test_dataset(3000, 100, 32, seed=13)
+        params = InvertedBuildParameters(
+            percent_centroids=0.10,
+            primary_parameters=VamanaBuildParameters(graph_max_degree=16,
+                                                     window_size=32))
+        index = InvertedIndex.build(params, data, "mip")
+        gt = svt.exhaustive_search(data, queries, 10, distance="mip")
+        res = index.search(queries, 10, InvertedSearchParameters(
+            primary_window_size=32, refinement_epsilon=1.0, max_probes=32))
+        assert svt.k_recall_at_n(gt, res) >= 0.7
+        # MIP distances are similarities: descending within a row
+        d = np.asarray(res.distances)
+        assert (np.diff(d, axis=1) <= 1e-4).all()
