@@ -430,7 +430,7 @@ def sharded_greedy_search(mesh: Mesh, graph: NeighborGraph,
 
 def sharded_build_graph(mesh: Mesh, data, params, distance, *,
                         axis: str = "shard", batch_size=None,
-                        prune_chunk: int = 128, pop_width: int = 2,
+                        prune_chunk: int = 128, pop_width: int = 4,
                         entry_point=None):
     """Full Vamana build with graph rows + vectors sharded across the mesh.
 
