@@ -53,6 +53,8 @@ def main():
                                    window_size=100,
                                    max_candidate_pool_size=300, prune_to=28)
     index = VamanaIndex.build(params, data, "l2")
+    if os.environ.get("SVT_BENCH_QB"):
+        index.query_batch_size = int(os.environ["SVT_BENCH_QB"])
     build_s = time.time() - t0
     print(f"# build: {build_s:.1f}s mean_degree={index.graph.mean_degree():.1f}",
           file=sys.stderr)
