@@ -225,18 +225,34 @@ def greedy_search(graph: NeighborGraph,
     # SVT_FORCE_BEAM_KERNEL=1 runs the kernel path in interpret mode off-TPU
     # (test hook; env is read at trace time like the other SVT_* knobs).
     force_kernel = _os.environ.get("SVT_FORCE_BEAM_KERNEL")
-    use_beam_kernel = ((jax.default_backend() == "tpu" or force_kernel)
-                       and not _os.environ.get("SVT_NO_BEAM_KERNEL")
-                       and custom_score is None
-                       and isinstance(data, VectorDataset)
-                       and data.dtype in (jnp.float32, jnp.bfloat16))
+    from ...quantization.lvq import LVQDataset
+    # Fused LVQ-8 decode+score kernel (beam_step_lvq): exact and tested,
+    # but measured SLOWER than the XLA whole-iteration path on real TPU
+    # (10.0k vs 12.6k QPS at 100k/w32, identical recall) — XLA fuses the
+    # affine decode into the score chain on its own, so the in-VMEM decode
+    # only adds work. Opt-in via SVT_LVQ_KERNEL=1 (PERF.md dead ends);
+    # 4-bit primaries always use the XLA path (nibble unpack interleaves
+    # lanes, and the measured TPU Pareto puts LVQ8 ahead of every 4-bit
+    # kind anyway — PERF.md equal-memory table).
+    lvq_mode = (isinstance(data, LVQDataset) and data.bits == 8
+                and (_os.environ.get("SVT_LVQ_KERNEL") or force_kernel))
+    kernel_ok = (jax.default_backend() == "tpu" or force_kernel) \
+        and not _os.environ.get("SVT_NO_BEAM_KERNEL") \
+        and custom_score is None
+    use_beam_kernel = kernel_ok and (
+        lvq_mode or (isinstance(data, VectorDataset)
+                     and data.dtype in (jnp.float32, jnp.bfloat16)))
     if use_beam_kernel:
-        from ...ops.pallas.beam_step import beam_step
+        from ...ops.pallas.beam_step import beam_step, beam_step_lvq
 
         metric_code = {dist_ops.DistanceType.L2: 0,
                        dist_ops.DistanceType.MIP: 1}.get(distance, 2)
         n_data = data.n
         if queries.dtype not in (jnp.float32, jnp.bfloat16):
+            queries = queries.astype(jnp.float32)
+        if lvq_mode:
+            lvq_mean = data.mean[None, :]
+            n_dead = data.padded_dim - data.dim
             queries = queries.astype(jnp.float32)
         # initial pop: beam is sorted and fully unvisited — take the first m
         # finite in-window slots and mark them visited
@@ -274,18 +290,32 @@ def greedy_search(graph: NeighborGraph,
                     seen = jnp.any(nbrs[:, :, None] == ring[:, None, :],
                                    axis=-1)
                     nbrs = jnp.where(seen, -1, nbrs)
-                if packed is not None:
-                    # m super-row gathers/query instead of m*r row gathers;
-                    # rows of masked ids are garbage, masked by id in-kernel
-                    vecs = jnp.take(packed, popped_flat, axis=0, mode="clip")
-                    vecs = vecs.reshape(rows, m * r, packed.shape[2])
+                interp = bool(force_kernel
+                              and jax.default_backend() != "tpu")
+                if lvq_mode:
+                    # fused decode+score: gather int8 code rows + per-row
+                    # (scale, bias); reconstruction happens in-kernel
+                    cl = jnp.maximum(nbrs, 0)
+                    codes = jnp.take(data.codes, cl, axis=0, mode="clip")
+                    sc = jnp.take(data.scales, cl, axis=0, mode="clip")
+                    bi = jnp.take(data.biases, cl, axis=0, mode="clip")
+                    bk, bp, popped, cand_keys, cand_ids = beam_step_lvq(
+                        bk, bp, codes, sc, bi, lvq_mean, nbrs, q_rows,
+                        metric=metric_code, window=window, m=m,
+                        n_dead=n_dead, interpret=interp)
                 else:
-                    vecs = data.get(jnp.maximum(nbrs, 0))
-                bk, bp, popped, cand_keys, cand_ids = beam_step(
-                    bk, bp, vecs, nbrs, q_rows, metric=metric_code,
-                    window=window, m=m,
-                    interpret=bool(force_kernel
-                                   and jax.default_backend() != "tpu"))
+                    if packed is not None:
+                        # m super-row gathers/query instead of m*r row
+                        # gathers; rows of masked ids are garbage, masked
+                        # by id in-kernel
+                        vecs = jnp.take(packed, popped_flat, axis=0,
+                                        mode="clip")
+                        vecs = vecs.reshape(rows, m * r, packed.shape[2])
+                    else:
+                        vecs = data.get(jnp.maximum(nbrs, 0))
+                    bk, bp, popped, cand_keys, cand_ids = beam_step(
+                        bk, bp, vecs, nbrs, q_rows, metric=metric_code,
+                        window=window, m=m, interpret=interp)
                 if track:
                     # mask candidates already pooled: hub nodes are re-scored
                     # every time they appear in another expansion, and their

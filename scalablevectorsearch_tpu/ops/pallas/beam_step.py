@@ -76,18 +76,36 @@ def bitonic_merge(keys: jax.Array, payloads, roll=jnp.roll):
     return keys, payloads
 
 
-def _score_block(vecs, queries, *, metric: int):
+def _score_block(vecs, queries, *, metric: int, decode=None):
     """(bb, K, d) rows + (bb, d) queries -> (bb, K) smaller-is-better keys.
 
     f32 multiply+reduce on the VPU — a single pass over the gathered bytes
     (``ops.distance.gathered_keys`` semantics, HIGHEST-precision equivalent:
-    the products and accumulator are full f32)."""
-    vf = vecs.astype(jnp.float32)
+    the products and accumulator are full f32).
+
+    ``decode``: optional (scales, biases, mean, n_dead) LVQ-8 parameters —
+    ``vecs`` then holds int8 primary codes and the kernel reconstructs
+    ``mean + bias + scale * code`` in VMEM registers before scoring (the
+    fused decode+distance path: the gathered code bytes are read once and
+    the (bb, K, d) f32 decode never exists in HBM).  ``n_dead`` is the
+    number of zero-padded trailing lanes: they decode to exactly ``bias``
+    (mean and codes are 0 there), so their squared-norm contribution is
+    subtracted analytically instead of masking a live-lane vector in."""
     qf = queries.astype(jnp.float32)
+    if decode is None:
+        vf = vecs.astype(jnp.float32)
+        dead_x2 = 0.0
+    else:
+        scales, biases, mean, n_dead = decode
+        vf = (mean[None, :, :] + biases[:, :, None]
+              + scales[:, :, None] * vecs.astype(jnp.float32))
+        # dead query lanes are zero-padded, so dots are unaffected; only
+        # the norm needs the correction
+        dead_x2 = jnp.float32(n_dead) * biases * biases    # (bb, K)
     dots = jnp.sum(vf * qf[:, None, :], axis=2)          # (bb, K)
     if metric == MIP:
         return -dots
-    x2 = jnp.sum(vf * vf, axis=2)                        # (bb, K)
+    x2 = jnp.sum(vf * vf, axis=2) - dead_x2              # (bb, K)
     if metric == L2:
         qn = jnp.sum(qf * qf, axis=1)                    # (bb,)
         return jnp.maximum(qn[:, None] - 2.0 * dots + x2, 0.0)
@@ -99,7 +117,7 @@ def _score_block(vecs, queries, *, metric: int):
 
 
 def _beam_step_body(beam_keys, beam_packed, vecs, cand_ids, queries, *,
-                    metric: int, window: int, m: int, roll):
+                    metric: int, window: int, m: int, roll, decode=None):
     """Shared math for the kernel and its XLA reference path."""
     bb, c = beam_keys.shape
     k = cand_ids.shape[1]
@@ -108,7 +126,7 @@ def _beam_step_body(beam_keys, beam_packed, vecs, cand_ids, queries, *,
     zero = jnp.int32(0)
 
     # ---- 1. score --------------------------------------------------------
-    keys = _score_block(vecs, queries, metric=metric)
+    keys = _score_block(vecs, queries, metric=metric, decode=decode)
     valid = jnp.where(cand_ids >= 0, one, zero)
     keys = jnp.where(valid == 1, keys, jnp.inf)
 
@@ -188,6 +206,21 @@ def _kernel(beam_keys_ref, beam_packed_ref, vecs_ref, cand_ids_ref,
     new_keys, new_packed, popped, pk, pi = _beam_step_body(
         beam_keys_ref[:], beam_packed_ref[:], vecs_ref[:], cand_ids_ref[:],
         queries_ref[:], metric=metric, window=window, m=m, roll=pltpu.roll)
+    out_keys_ref[:] = new_keys
+    out_packed_ref[:] = new_packed
+    popped_ref[:] = popped
+    pool_keys_ref[:] = pk
+    pool_ids_ref[:] = pi
+
+
+def _kernel_lvq(beam_keys_ref, beam_packed_ref, codes_ref, scales_ref,
+                biases_ref, mean_ref, cand_ids_ref, queries_ref,
+                out_keys_ref, out_packed_ref, popped_ref,
+                pool_keys_ref, pool_ids_ref, *, metric, window, m, n_dead):
+    new_keys, new_packed, popped, pk, pi = _beam_step_body(
+        beam_keys_ref[:], beam_packed_ref[:], codes_ref[:], cand_ids_ref[:],
+        queries_ref[:], metric=metric, window=window, m=m, roll=pltpu.roll,
+        decode=(scales_ref[:], biases_ref[:], mean_ref[:], n_dead))
     out_keys_ref[:] = new_keys
     out_packed_ref[:] = new_packed
     popped_ref[:] = popped
@@ -275,8 +308,82 @@ def beam_step(beam_keys: jax.Array, beam_packed: jax.Array,
     return out
 
 
+@partial(jax.jit, static_argnames=("metric", "window", "m", "n_dead",
+                                   "block_rows", "interpret"))
+def beam_step_lvq(beam_keys: jax.Array, beam_packed: jax.Array,
+                  codes: jax.Array, scales: jax.Array, biases: jax.Array,
+                  mean: jax.Array, cand_ids: jax.Array, queries: jax.Array,
+                  *, metric: int, window: int, m: int, n_dead: int,
+                  block_rows: int = 0, interpret: bool = False):
+    """Fused LVQ-8 decode + score + merge + pop (BASELINE's fused
+    decode+distance kernel).
+
+    Like :func:`beam_step` but the candidate block holds int8 primary codes
+    (``quantization/lvq.py`` one-level layout) plus per-candidate (scale,
+    bias) and the dataset mean; the f32 reconstruction happens in VMEM
+    registers, so the decoded (B, K, d) block never exists in HBM — the
+    XLA LVQ path materializes it twice (decode output + score operand).
+
+    Args beyond :func:`beam_step`:
+      codes: (B, K, d_pad) int8 gathered primary code rows.
+      scales / biases: (B, K) f32 per-candidate level-1 constants.
+      mean: (1, d_pad) f32 dataset mean (zero in dead lanes).
+      n_dead: static count of zero-padded trailing lanes (d_pad - dim);
+        each decodes to exactly ``bias``, corrected analytically in the
+        squared-norm term.
+    """
+    b, c = beam_keys.shape
+    k = cand_ids.shape[1]
+    d = codes.shape[2]
+    if not block_rows:
+        block_rows = _pick_block_rows(b, k, d, 4)
+    bb = min(block_rows, max(8, b))
+    pad_rows = (-b) % bb
+    if pad_rows:
+        beam_keys = jnp.pad(beam_keys, ((0, pad_rows), (0, 0)),
+                            constant_values=jnp.inf)
+        beam_packed = jnp.pad(beam_packed, ((0, pad_rows), (0, 0)),
+                              constant_values=-1)
+        codes = jnp.pad(codes, ((0, pad_rows), (0, 0), (0, 0)))
+        scales = jnp.pad(scales, ((0, pad_rows), (0, 0)))
+        biases = jnp.pad(biases, ((0, pad_rows), (0, 0)))
+        cand_ids = jnp.pad(cand_ids, ((0, pad_rows), (0, 0)),
+                           constant_values=-1)
+        queries = jnp.pad(queries, ((0, pad_rows), (0, 0)))
+    bp = b + pad_rows
+    grid = (bp // bb,)
+    row_spec = lambda width: pl.BlockSpec(  # noqa: E731
+        (bb, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    code_spec = pl.BlockSpec((bb, k, d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    mean_spec = pl.BlockSpec((1, d), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_kernel_lvq, metric=metric, window=window, m=m,
+                n_dead=n_dead),
+        grid=grid,
+        in_specs=[row_spec(c), row_spec(c), code_spec, row_spec(k),
+                  row_spec(k), mean_spec, row_spec(k), row_spec(d)],
+        out_specs=[row_spec(c), row_spec(c), row_spec(m), row_spec(k),
+                   row_spec(k)],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, c), jnp.float32),
+            jax.ShapeDtypeStruct((bp, c), jnp.int32),
+            jax.ShapeDtypeStruct((bp, m), jnp.int32),
+            jax.ShapeDtypeStruct((bp, k), jnp.float32),
+            jax.ShapeDtypeStruct((bp, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(beam_keys, beam_packed, codes, scales, biases, mean, cand_ids,
+      queries)
+    if pad_rows:
+        out = [o[:b] for o in out]
+    return out
+
+
 def beam_step_reference(beam_keys, beam_packed, vecs, cand_ids, queries, *,
-                        metric: int, window: int, m: int):
+                        metric: int, window: int, m: int, decode=None):
     """Pure-XLA reference of the kernel math (for tests)."""
     return _beam_step_body(beam_keys, beam_packed, vecs, cand_ids, queries,
-                           metric=metric, window=window, m=m, roll=jnp.roll)
+                           metric=metric, window=window, m=m, roll=jnp.roll,
+                           decode=decode)

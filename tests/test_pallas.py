@@ -261,6 +261,84 @@ class TestBeamStep:
                    if np.isfinite(pk[bi, j])}
             assert got == epools[bi]
 
+    @pytest.mark.parametrize("metric", [0, 1])
+    def test_lvq_kernel_matches_decoded(self, rng, metric):
+        """beam_step_lvq (fused in-kernel decode) == beam_step over the
+        pre-decoded f32 rows, and == the XLA reference with the decode
+        tuple (the dead-lane norm correction must be exact)."""
+        from scalablevectorsearch_tpu.ops.pallas.beam_step import (
+            beam_step, beam_step_lvq, beam_step_reference)
+        B, C, K, dim, window, m = 8, 16, 32, 48, 12, 2
+        d_pad = 128  # forces a live dead-lane correction (n_dead = 80)
+        bk, bp, _vecs, cids, _q = self._case(rng, B, C, K, d_pad)
+        n_ids = 400
+        codes = rng.integers(-128, 128, size=(n_ids, d_pad)).astype(np.int8)
+        codes[:, dim:] = 0
+        scales = rng.uniform(0.01, 0.1, size=n_ids).astype(np.float32)
+        biases = rng.normal(size=n_ids).astype(np.float32)
+        mean = np.zeros(d_pad, np.float32)
+        mean[:dim] = rng.normal(size=dim).astype(np.float32)
+        q = rng.normal(size=(B, d_pad)).astype(np.float32)
+        q[:, dim:] = 0.0
+
+        cl = np.maximum(cids, 0)
+        crows = codes[cl]
+        sc, bi = scales[cl], biases[cl]
+        # pre-decoded rows, live lanes only (what the XLA path scores)
+        dec = (mean + bi[..., None] + sc[..., None]
+               * crows.astype(np.float32))
+        dec[..., dim:] = 0.0
+
+        args = dict(metric=metric, window=window, m=m)
+        plain = beam_step(jnp.asarray(bk), jnp.asarray(bp),
+                          jnp.asarray(dec), jnp.asarray(cids),
+                          jnp.asarray(q), interpret=True, block_rows=8,
+                          **args)
+        fused = beam_step_lvq(jnp.asarray(bk), jnp.asarray(bp),
+                              jnp.asarray(crows), jnp.asarray(sc),
+                              jnp.asarray(bi), jnp.asarray(mean[None, :]),
+                              jnp.asarray(cids), jnp.asarray(q),
+                              n_dead=d_pad - dim, interpret=True,
+                              block_rows=8, **args)
+        ref = beam_step_reference(
+            jnp.asarray(bk), jnp.asarray(bp), jnp.asarray(crows),
+            jnp.asarray(cids), jnp.asarray(q),
+            decode=(jnp.asarray(sc), jnp.asarray(bi),
+                    jnp.asarray(mean[None, :]), d_pad - dim), **args)
+        for name, a, b_, c_ in zip(("keys", "packed", "popped",
+                                    "pool_keys", "pool_ids"),
+                                   plain, fused, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-4, err_msg=name)
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(c_),
+                                       rtol=1e-5, atol=1e-5, err_msg=name)
+
+    def test_lvq_search_kernel_path_end_to_end(self, rng, monkeypatch):
+        """greedy_search over an LVQ8 dataset via the fused decode kernel
+        (interpret mode) matches the XLA LVQ path."""
+        import jax as _jax
+        from scalablevectorsearch_tpu.index.vamana.index import VamanaIndex
+        from scalablevectorsearch_tpu.index.vamana.params import (
+            VamanaBuildParameters)
+        from scalablevectorsearch_tpu.quantization.lvq import LVQDataset
+        import scalablevectorsearch_tpu as svt
+        data, queries = svt.generate_test_dataset(300, 37, 64, seed=7)
+        lvq = LVQDataset.compress(data, bits=8)
+        params = VamanaBuildParameters(graph_max_degree=16, window_size=24,
+                                       max_candidate_pool_size=60,
+                                       prune_to=14, alpha=1.1)
+        index = VamanaIndex.build(params, lvq, "l2")
+        index.search_window_size = 13
+        res_xla = index.search(queries, 7)
+        monkeypatch.setenv("SVT_FORCE_BEAM_KERNEL", "1")
+        _jax.clear_caches()
+        res_kernel = index.search(queries, 7)
+        monkeypatch.delenv("SVT_FORCE_BEAM_KERNEL")
+        _jax.clear_caches()
+        ids_x = np.sort(np.asarray(res_xla.ids), axis=1)
+        ids_k = np.sort(np.asarray(res_kernel.ids), axis=1)
+        assert (ids_x == ids_k).mean() > 0.98  # fp tie-breaks allowed
+
     def test_search_kernel_path_end_to_end(self, rng, monkeypatch):
         """greedy_search with the kernel path (interpret mode) returns the
         same neighbors as the XLA path."""
