@@ -133,6 +133,11 @@ class SQDataset:
     def get_f32(self, ids: jax.Array) -> jax.Array:
         return self.get(ids)
 
+    def norms_of(self, ids: jax.Array) -> jax.Array:
+        """Reconstructed squared norms for gathered ids (dataset protocol —
+        graph build / consolidate query-norm fetch)."""
+        return jnp.take(self.norms_sq, ids, axis=0, mode="clip")
+
     def to_numpy(self) -> np.ndarray:
         """Reconstructed vectors (n, dim) — reference DecompressionAccessor
         (scalar.h:608)."""

@@ -51,6 +51,22 @@ class TestSQDataset:
         np.testing.assert_allclose(sq2.to_numpy(), sq.to_numpy(), atol=1e-6)
         assert float(sq2.scale) == pytest.approx(float(sq.scale))
 
+    def test_vamana_over_sq(self, small_dataset):
+        """Vamana build + search over SQ codes (the dataset-protocol path
+        the examples use; regression: SQDataset once lacked norms_of and
+        only the flat path was exercised)."""
+        data, queries = small_dataset
+        sq = SQDataset.compress(data)
+        params = VamanaBuildParameters(graph_max_degree=24,
+                                       window_size=48, alpha=1.1)
+        idx = VamanaIndex.build(params, sq, "l2", batch_size=256)
+        idx.search_window_size = 30
+        gt = svt.exhaustive_search(data, queries, 10)
+        rec = svt.k_recall_at_n(gt, idx.search(queries, 10))
+        # global 8-bit quantization caps recall ~0.845 on this dataset
+        # (widening the window does not help: reconstruction-error bound)
+        assert rec >= 0.8
+
 
 class TestLVQDataset:
     def test_reconstruction_better_than_sq(self, rng):
