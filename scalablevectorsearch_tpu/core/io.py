@@ -90,28 +90,55 @@ def write_vecs(path: str, data: np.ndarray, dtype=None) -> None:
 
 # ---------------------------------------------------------------------------
 # Reference-native ``.svs`` V1 binary format (migration convenience).
-# Layout (reference include/svs/core/io/native.h V1 header): 64-byte header =
-# u64 magic, u64 num_vectors, u64 dims, 16-byte UUID, zero padding; then the
-# row-major payload.  The element type lives in the sidecar TOML config in
-# the reference's directory layout, so readers must supply it.
+# Layout (reference include/svs/core/io/native.h v1::Header): 1024-byte
+# header = u64 magic, 16-byte UUID (lib::UUID raw order — byte i of the
+# canonical string octets is stored at raw[15 - i], lib/uuid.h flip()),
+# u64 num_vectors, u64 dims, zero padding; then the row-major payload.
+# The element type lives in the sidecar TOML config in the reference's
+# directory layout, so readers must supply it.
 # ---------------------------------------------------------------------------
 
 SVS_V1_MAGIC = 0xCAD4A6B2579980FE
-SVS_V1_HEADER_SIZE = 64
+SVS_V1_HEADER_SIZE = 1024
+
+
+def _uuid_str_from_raw(raw: bytes) -> str:
+    """lib::UUID raw bytes -> canonical string (reference lib/uuid.h:192)."""
+    import uuid as _uuid
+    return str(_uuid.UUID(bytes=bytes(raw)[::-1]))
+
+
+def _uuid_raw_from_str(s: str) -> bytes:
+    """Canonical UUID string -> lib::UUID raw byte order (lib/uuid.h:225)."""
+    import uuid as _uuid
+    return _uuid.UUID(s).bytes[::-1]
+
+
+def _parse_svs_header(path: str, header: bytes):
+    if len(header) < SVS_V1_HEADER_SIZE:
+        raise ValueError(f"{path}: truncated svs header")
+    magic = int(np.frombuffer(header[:8], dtype="<u8")[0])
+    if magic != SVS_V1_MAGIC:
+        raise ValueError(
+            f"{path}: bad svs magic 0x{magic:x} (not a V1 file)")
+    uuid_raw = header[8:24]
+    n, dim = (int(v) for v in np.frombuffer(header[24:40], dtype="<u8"))
+    return n, dim, uuid_raw
+
+
+def read_svs_uuid(path: str) -> str:
+    """Return the UUID string of an ``.svs`` blob (reference
+    ``io::get_uuid``, core/io/native.h:685)."""
+    with open(path, "rb") as f:
+        _n, _d, raw = _parse_svs_header(path, f.read(SVS_V1_HEADER_SIZE))
+    return _uuid_str_from_raw(raw)
 
 
 def read_svs(path: str, dtype=np.float32) -> np.ndarray:
     """Read a reference-format ``.svs`` V1 binary data file."""
     dt = np.dtype(dtype)
     with open(path, "rb") as f:
-        header = f.read(SVS_V1_HEADER_SIZE)
-        if len(header) < SVS_V1_HEADER_SIZE:
-            raise ValueError(f"{path}: truncated svs header")
-        magic, n, dim = (int(v) for v in
-                         np.frombuffer(header[:24], dtype="<u8"))
-        if magic != SVS_V1_MAGIC:
-            raise ValueError(
-                f"{path}: bad svs magic 0x{magic:x} (not a V1 file)")
+        n, dim, _raw = _parse_svs_header(path, f.read(SVS_V1_HEADER_SIZE))
         expected = n * dim * dt.itemsize
         actual = os.path.getsize(path) - SVS_V1_HEADER_SIZE
         if expected != actual:
@@ -122,17 +149,42 @@ def read_svs(path: str, dtype=np.float32) -> np.ndarray:
     return payload.reshape(n, dim)
 
 
-def write_svs(path: str, data: np.ndarray) -> None:
-    """Write a reference-compatible ``.svs`` V1 binary data file."""
+def write_svs(path: str, data: np.ndarray, uuid: str | None = None) -> str:
+    """Write a reference-compatible ``.svs`` V1 binary data file.
+
+    ``uuid``: canonical UUID string embedded in the header (random when
+    omitted).  The reference resolves blobs by matching this header UUID
+    against the one recorded in ``svs_config.toml`` (``io::find_uuid``,
+    core/data/simple.h:130-134) — callers persisting a sidecar config must
+    record the same UUID there.  Returns the UUID string used."""
     data = np.ascontiguousarray(data)
     import uuid as _uuid
+    if uuid is None:
+        uuid = str(_uuid.uuid4())
     header = np.zeros(SVS_V1_HEADER_SIZE, dtype=np.uint8)
-    header[:24] = np.array([SVS_V1_MAGIC, data.shape[0], data.shape[1]],
-                           dtype="<u8").view(np.uint8)
-    header[24:40] = np.frombuffer(_uuid.uuid4().bytes, dtype=np.uint8)
+    header[:8] = np.array([SVS_V1_MAGIC], dtype="<u8").view(np.uint8)
+    header[8:24] = np.frombuffer(_uuid_raw_from_str(uuid), dtype=np.uint8)
+    header[24:40] = np.array([data.shape[0], data.shape[1]],
+                             dtype="<u8").view(np.uint8)
     with open(path, "wb") as f:
         header.tofile(f)
         data.tofile(f)
+    return uuid
+
+
+def find_svs_by_uuid(directory: str, uuid: str) -> Optional[str]:
+    """Scan ``directory`` for the ``.svs`` blob whose header UUID matches —
+    the reference's blob-resolution path (``io::find_uuid``)."""
+    for name in sorted(os.listdir(directory)):
+        if not name.endswith(".svs"):
+            continue
+        path = os.path.join(directory, name)
+        try:
+            if read_svs_uuid(path) == uuid:
+                return path
+        except (ValueError, OSError):
+            continue
+    return None
 
 
 def read_npy(path: str) -> np.ndarray:

@@ -46,9 +46,20 @@ def load_config(directory: str) -> dict:
 
 
 def _blob_path(directory: str, table: dict) -> str:
+    """Resolve a table's binary blob the way the reference does: by matching
+    the config's ``uuid`` against blob header UUIDs (``io::find_uuid``,
+    core/data/simple.h:130-134 — there is no filename fallback there).  We
+    additionally fall back to ``binary_file`` for configs without a uuid."""
+    uuid = table.get("uuid")
+    if uuid:
+        path = core_io.find_svs_by_uuid(directory, str(uuid))
+        if path is not None:
+            return path
     name = table.get("binary_file")
     if not name:
-        raise ValueError(f"table {table.get('__schema__')}: no binary_file")
+        raise ValueError(
+            f"table {table.get('__schema__')}: could not resolve blob "
+            f"(uuid {uuid!r} not found and no binary_file)")
     return os.path.join(directory, name)
 
 
@@ -145,7 +156,10 @@ def _toml_value(v) -> str:
         return str(int(v))
     if isinstance(v, (float, np.floating)):
         return repr(float(v))
-    return "'" + str(v).replace("'", "''") + "'"
+    # basic (double-quoted) TOML string with backslash escaping — literal
+    # single-quoted strings have NO escape syntax in TOML
+    s = str(v).replace("\\", "\\\\").replace('"', '\\"')
+    return f'"{s}"'
 
 
 def _write_table(lines, name, table, indent=""):
@@ -185,22 +199,28 @@ def save_reference_vamana(index, config_dir: str,
     raw = np.concatenate(
         [degs[:, None], np.maximum(adj, 0).astype(np.uint32)], axis=1)
     os.makedirs(graph_dir, exist_ok=True)
+    # one UUID per blob, embedded in BOTH the blob header and the config —
+    # the reference resolves blobs by this match (io::find_uuid,
+    # core/graph/graph.h:326-327; no filename fallback)
+    graph_uuid = str(_uuid.uuid4())
     core_io.write_svs(os.path.join(graph_dir, "graph.svs"),
-                      raw.astype(np.uint32))
+                      raw.astype(np.uint32), uuid=graph_uuid)
     write_config(graph_dir, {
         "__schema__": "default_graph", "__version__": "v0.0.0",
         "name": "graph", "binary_file": "graph.svs",
-        "uuid": str(_uuid.uuid4()), "eltype": "uint32",
+        "uuid": graph_uuid, "eltype": "uint32",
         "max_degree": r, "num_vertices": n,
     })
 
     arr = index.data.to_numpy().astype(np.float32)
     os.makedirs(data_dir, exist_ok=True)
-    core_io.write_svs(os.path.join(data_dir, "data.svs"), arr)
+    data_uuid = str(_uuid.uuid4())
+    core_io.write_svs(os.path.join(data_dir, "data.svs"), arr,
+                      uuid=data_uuid)
     write_config(data_dir, {
         "__schema__": "uncompressed_data", "__version__": "v0.0.0",
         "name": "uncompressed", "binary_file": "data.svs",
-        "uuid": str(_uuid.uuid4()), "eltype": "float32",
+        "uuid": data_uuid, "eltype": "float32",
         "num_vectors": arr.shape[0], "dims": arr.shape[1],
     })
 

@@ -1,6 +1,8 @@
 """Unit tests for the core layer: datasets, graph, io, recall, medioid,
 translation, kmeans — mirrors the reference's tests/svs/core/ coverage."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -207,9 +209,36 @@ class TestSvsNativeFormat:
     def test_bad_magic(self, tmp_path):
         path = str(tmp_path / "bad.svs")
         with open(path, "wb") as f:
-            f.write(b"\x00" * 64)
+            f.write(b"\x00" * svio.SVS_V1_HEADER_SIZE)
         with pytest.raises(ValueError):
             svio.read_svs(path)
+
+    def test_uuid_header_roundtrip(self, tmp_path, rng):
+        """write_svs embeds the requested UUID in lib::UUID raw order and
+        read_svs_uuid recovers the canonical string (lib/uuid.h flip())."""
+        x = rng.normal(size=(3, 5)).astype(np.float32)
+        path = str(tmp_path / "u.svs")
+        u = "0cd42b81-8e7a-4fdd-b4d6-81d6d5880fb0"
+        assert svio.write_svs(path, x, uuid=u) == u
+        assert svio.read_svs_uuid(path) == u
+        assert svio.find_svs_by_uuid(str(tmp_path), u) == path
+        assert svio.find_svs_by_uuid(
+            str(tmp_path), "00000000-0000-0000-0000-000000000000") is None
+
+    def test_reads_upstream_blob(self):
+        """Parse an actual reference-produced .svs blob byte-for-byte
+        (1024-byte v1 header: magic, uuid, n, d — io/native.h:315-341)."""
+        path = "/root/reference/data/test_dataset/known_f32.svs"
+        if not os.path.exists(path):
+            pytest.skip("reference checkout not present")
+        arr = svio.read_svs(path, dtype=np.float32)
+        assert arr.shape == (5, 6)
+        assert np.isfinite(arr).all()
+        # the upstream ivf_clustering config's uuid resolves to its blob
+        d = "/root/reference/data/test_dataset/ivf_clustering"
+        got = svio.find_svs_by_uuid(
+            d, "0cd42b81-8e7a-4fdd-b4d6-81d6d5880fb0")
+        assert got is not None and got.endswith("data_1.svs")
 
     def test_size_mismatch(self, tmp_path, rng):
         x = rng.normal(size=(4, 4)).astype(np.float32)

@@ -341,6 +341,14 @@ class TestReferenceInterop:
         ddir = str(tmp_path / "data")
         svs_interop.save_reference_vamana(built_index, cfg, gdir, ddir)
         assert (tmp_path / "cfg" / "svs_config.toml").exists()
+        # the reference resolves blobs by matching the config uuid against
+        # the blob HEADER uuid (io::find_uuid) — assert they agree
+        import tomllib
+        from scalablevectorsearch_tpu.core import io as svio
+        for d, blob in ((gdir, "graph.svs"), (ddir, "data.svs")):
+            with open(f"{d}/svs_config.toml", "rb") as f:
+                cfg_uuid = tomllib.load(f)["object"]["uuid"]
+            assert svio.read_svs_uuid(f"{d}/{blob}") == cfg_uuid
         loaded = svs_interop.load_reference_vamana(cfg, gdir, ddir, "l2")
         assert loaded.entry_point == built_index.entry_point
         assert loaded.build_parameters.alpha == pytest.approx(1.1)
