@@ -80,7 +80,9 @@ def consolidate_round(graph: NeighborGraph, data: VectorDataset,
     cand = jnp.where(cand_deleted | (cand < 0), -1, cand)
 
     queries = data.get(node_ids)
-    q_norms = jnp.take(data.norms_sq, node_ids, mode="clip")
+    # protocol accessor (not a direct field read) so shard views can answer
+    # with a collective (parallel/sharded.py ShardedDataShard.norms_of)
+    q_norms = data.norms_of(node_ids)
     keys = build_mod._score_against(data, distance, queries, q_norms, cand)
     keys = topk_ops.mask_first_duplicates(keys, cand)
     keys = jnp.where(node_valid[:, None], keys, jnp.inf)
@@ -232,8 +234,12 @@ class MutableVamanaIndex:
 
     # -- search -----------------------------------------------------------------
     def search(self, queries, k: int,
-               parameters: Optional[VamanaSearchParameters] = None
-               ) -> QueryResult:
+               parameters: Optional[VamanaSearchParameters] = None,
+               cancel=None) -> QueryResult:
+        """``cancel``: optional zero-arg predicate checked between query
+        batch dispatches (reference cancel hooks,
+        tests/integration/cancel.cpp)."""
+        from ...lib.exceptions import check_cancel
         params = parameters or self._search_parameters
         cfg = params.buffer_config
         # deleted entries occupy beam slots until consolidation; widen the
@@ -250,37 +256,40 @@ class MutableVamanaIndex:
         nq, dim = queries.shape
         if dim != self.data.dim:
             raise ValueError(f"query dim {dim} != dataset dim {self.data.dim}")
-        qb = self.query_batch_size
+        from .index import _BatchPlan
+        plan = _BatchPlan.plan(nq, self.query_batch_size)
         entry_ids = jnp.asarray([self.entry_point], dtype=jnp.int32)
         packed = self._ensure_packed()
         out_ids = np.empty((nq, k), dtype=np.int64)
         out_vals = np.empty((nq, k), dtype=np.float32)
-        # dispatch all batches, start all device->host copies, then read —
-        # per-batch blocking reads each cost a tunnel round trip
+        # one padded upload for all batches; per batch, one fused dispatch
+        # (slice + search + deleted-drop + key conversion); all device->host
+        # copies start before the first blocking read — each blocking
+        # transfer costs a tunnel round trip (see index.py search)
+        q_host = dt.pad_matrix(queries.astype(np.float32),
+                               n_pad=plan.rows * plan.n_batches,
+                               d_pad=self.data.padded_dim)
+        q_all = jnp.asarray(q_host)
         pending = []
-        for start in range(0, nq, qb):
-            stop = min(start + qb, nq)
-            batch = dt.pad_matrix(queries[start:stop].astype(np.float32),
-                                  n_pad=min(qb, dt.pad_to(stop - start, 8)),
-                                  d_pad=self.data.padded_dim)
-            out = search_mod.greedy_search(
-                self.graph, self.data, jnp.asarray(batch), entry_ids,
-                window=window, capacity=capacity, max_iters=max_iters,
-                distance=self.distance, pop_width=self.pop_width,
-                packed=packed, tail_frac=self.tail_frac,
+        for i in range(plan.n_batches):
+            check_cancel(cancel)
+            ids, vals = _dyn_search_batch(
+                self.graph, self.data, packed, self.deleted_mask, q_all,
+                jnp.int32(i * plan.rows), entry_ids,
+                rows=plan.rows, k=k, window=window, capacity=capacity,
+                max_iters=max_iters, distance=self.distance,
+                pop_width=self.pop_width, tail_frac=self.tail_frac,
                 visited_size=visited_size)
-            keys, ids = _drop_deleted(out.keys, out.ids, self.deleted_mask, k)
-            vals = dist_ops.value_from_key(self.distance,
-                                           keys[: stop - start])
-            pending.append((start, stop, ids[: stop - start], vals))
-        for _start, _stop, ids, vals in pending:
+            pending.append((i * plan.rows, ids, vals))
+        for _start, ids, vals in pending:
             ids.copy_to_host_async()
             vals.copy_to_host_async()
-        for start, stop, ids, vals in pending:
-            slots = np.asarray(ids)
+        for start, ids, vals in pending:
+            stop = min(start + plan.rows, nq)
+            slots = np.asarray(ids)[: stop - start]
             out_ids[start:stop] = np.where(
                 slots >= 0, self.translator.to_external(slots), -1)
-            out_vals[start:stop] = np.asarray(vals)
+            out_vals[start:stop] = np.asarray(vals)[: stop - start]
         return QueryResult(ids=out_ids, distances=out_vals)
 
     # -- mutation ------------------------------------------------------------------
@@ -371,31 +380,32 @@ class MutableVamanaIndex:
 
     def compact(self) -> None:
         """Dense remap: drop empty slots, shrink high-water
-        (dynamic_index.h:791-884 batched gather-remap formulation)."""
+        (dynamic_index.h:791-884 batched gather-remap formulation).
+
+        Runs entirely on device: only the O(n) permutation crosses the
+        tunnel; the O(n*(R+d)) adjacency/vector bytes are gather-remapped
+        in one jit call (the reference's compact likewise moves rows
+        in-place without round-tripping them through the API layer)."""
         high = self._high_water
         alive = np.nonzero(self.status[:high] != SLOT_EMPTY)[0]
         if alive.size == high:
             return
         old_to_new = np.full(self.data.capacity + 1, -1, dtype=np.int64)
         old_to_new[alive] = np.arange(alive.size)
-
-        adj = np.asarray(self.graph.adjacency[:high])[alive]
-        remapped = np.where(adj >= 0, old_to_new[np.maximum(adj, 0)], -1)
-        # edges to dropped slots vanish; repack left
-        order = np.argsort(remapped < 0, axis=1, kind="stable")
-        remapped = np.take_along_axis(remapped, order, axis=1)
-        degrees = (remapped >= 0).sum(axis=1).astype(np.int32)
-
-        vectors = np.asarray(self.data.vectors)[alive]
         new_n = alive.size
-        self.data = VectorDataset.from_array(
-            vectors[:, : self.data.dim],
-            capacity=self.data.capacity)  # keep capacity
-        self.graph = NeighborGraph.empty(new_n, self.graph.max_degree,
-                                         capacity=self.graph.capacity)
-        self.graph = self.graph.replace_rows(
-            jnp.arange(new_n), jnp.asarray(remapped, dtype=jnp.int32),
-            jnp.asarray(degrees))
+
+        perm = np.zeros(self.data.capacity, dtype=np.int32)
+        perm[:new_n] = alive
+        adj, degs, vecs, norms = _compact_kernel(
+            self.graph.adjacency, self.data.vectors, self.data.norms_sq,
+            jnp.asarray(perm),
+            jnp.asarray(old_to_new[:-1].astype(np.int32)),
+            jnp.int32(new_n))
+        import dataclasses as dc
+        self.data = dc.replace(self.data, vectors=vecs, norms_sq=norms,
+                               n=new_n)
+        self.graph = dc.replace(self.graph, adjacency=adj, degrees=degs,
+                                n=new_n)
         new_status = np.full(self.status.size, SLOT_EMPTY, dtype=np.int8)
         new_status[:new_n] = self.status[:high][alive]
         self.status = new_status
@@ -509,6 +519,32 @@ class MutableVamanaIndex:
             self.entry_point = int(alive[0])
 
 
+@jax.jit
+def _compact_kernel(adjacency: jax.Array, vectors: jax.Array,
+                    norms_sq: jax.Array, perm: jax.Array, o2n: jax.Array,
+                    n_alive: jax.Array):
+    """Gather-remap the graph + dataset through a slot permutation on device
+    (dynamic_index.h:791-884).  ``perm``: (capacity,) new->old slot ids
+    (rows past ``n_alive`` arbitrary); ``o2n``: (capacity,) old->new, -1 for
+    dropped slots.  ``n_alive`` is traced so compactions of different sizes
+    share one executable."""
+    cap = adjacency.shape[0]
+    live = jnp.arange(cap, dtype=jnp.int32) < n_alive
+    rows = jnp.take(adjacency, perm, axis=0, mode="clip")
+    remapped = jnp.where(rows >= 0,
+                         jnp.take(o2n, jnp.maximum(rows, 0), mode="clip"),
+                         -1)
+    # edges to dropped slots vanish; repack left (stable: order preserved)
+    order = jnp.argsort(remapped < 0, axis=1, stable=True)
+    remapped = jnp.take_along_axis(remapped, order, axis=1)
+    remapped = jnp.where(live[:, None], remapped, -1)
+    degrees = jnp.sum(remapped >= 0, axis=1).astype(jnp.int32)
+    vecs = jnp.take(vectors, perm, axis=0, mode="clip")
+    vecs = jnp.where(live[:, None], vecs, 0)
+    norms = jnp.where(live, jnp.take(norms_sq, perm, mode="clip"), jnp.inf)
+    return remapped, degrees, vecs, norms
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _drop_deleted(keys: jax.Array, ids: jax.Array, deleted_mask: jax.Array,
                   k: int):
@@ -516,3 +552,24 @@ def _drop_deleted(keys: jax.Array, ids: jax.Array, deleted_mask: jax.Array,
     is_del = jnp.take(deleted_mask, jnp.maximum(ids, 0), mode="clip")
     keys = jnp.where(is_del | (ids < 0), jnp.inf, keys)
     return topk_ops.smallest_k(keys, ids, k)
+
+
+@partial(jax.jit, static_argnames=(
+    "rows", "k", "window", "capacity", "max_iters", "distance", "pop_width",
+    "tail_frac", "visited_size"))
+def _dyn_search_batch(graph, data, packed, deleted_mask, q_all, start,
+                      entry_ids, *, rows: int, k: int, window: int,
+                      capacity: int, max_iters: int, distance,
+                      pop_width: int, tail_frac: int, visited_size: int):
+    """One fused serving dispatch for the dynamic index: device-side query
+    slice + beam search + deleted-slot drop + key->distance conversion
+    (mirrors index.py `_search_batch`; the predicated extraction is the
+    reference's dynamic_search_buffer.h semantics)."""
+    q = jax.lax.dynamic_slice_in_dim(q_all, start, rows, axis=0)
+    out = search_mod.greedy_search(
+        graph, data, q, entry_ids,
+        window=window, capacity=capacity, max_iters=max_iters,
+        distance=distance, pop_width=pop_width, packed=packed,
+        tail_frac=tail_frac, visited_size=visited_size)
+    keys, ids = _drop_deleted(out.keys, out.ids, deleted_mask, k)
+    return ids, dist_ops.value_from_key(distance, keys)

@@ -17,8 +17,10 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+from functools import partial
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,6 +37,56 @@ from .params import (SearchBufferConfig, VamanaBuildParameters,
                      VamanaSearchParameters, UNSPECIFIED)
 
 CONFIG_FILENAME = "vamana_config.json"
+
+
+@dataclasses.dataclass(frozen=True)
+class _BatchPlan:
+    """Equal-size lockstep batch partition of ``nq`` queries.
+
+    The reference partitions batch searches into equal per-thread chunks with
+    zero per-chunk overhead (index.h:556-603); the lockstep analog equalizes
+    batch SHAPES so every dispatch reuses one compiled executable and no
+    batch is mostly padding (5000 queries at qb=2048 used to dispatch
+    2048+2048+904 — two executables, one straggler batch)."""
+
+    rows: int       # padded rows per batch (multiple of 8)
+    n_batches: int
+
+    @classmethod
+    def plan(cls, nq: int, max_rows: int) -> "_BatchPlan":
+        nb = max(1, -(-nq // max(max_rows, 8)))
+        rows = dt.pad_to(-(-nq // nb), 8)
+        nb = max(1, -(-nq // rows))   # padding may shrink the batch count
+        return cls(rows=rows, n_batches=nb)
+
+
+@partial(jax.jit, static_argnames=(
+    "rows", "k", "window", "capacity", "max_iters", "distance",
+    "tail_frac", "visited_size", "two_level"))
+def _search_batch(graph, data, packed, rerank_view, q_all, start, entry_ids,
+                  *, rows: int, k: int, window: int, capacity: int,
+                  max_iters: int, distance, tail_frac: int,
+                  visited_size: int, two_level: bool):
+    """One fully-fused serving dispatch: slice the pre-uploaded query block,
+    run the beam search, (optionally) rerank two-level datasets, and convert
+    keys to public distances — the host does nothing between dispatches but
+    enqueue (the reference's zero-overhead batch partition, index.h:556-603).
+    """
+    from ...index.ivf.index import rerank_kernel
+    q = jax.lax.dynamic_slice_in_dim(q_all, start, rows, axis=0)
+    out = search_mod.greedy_search(
+        graph, data, q, entry_ids,
+        window=window, capacity=capacity, max_iters=max_iters,
+        distance=distance, packed=packed, tail_frac=tail_frac,
+        visited_size=visited_size)
+    ids, keys = out.ids, out.keys
+    if two_level:
+        # traversal keys come from the primary level; rerank the retained
+        # beam with the residual-corrected reconstruction (the reference's
+        # two-level search flow, vamana/extensions.h)
+        keys, ids = rerank_kernel(rerank_view, q, None, ids, k=k,
+                                  distance=distance)
+    return ids[:, :k], dist_ops.value_from_key(distance, keys[:, :k])
 
 
 def saveload_pack_tree(directory: str, stream) -> None:
@@ -165,13 +217,22 @@ class VamanaIndex:
         """Materialize inline neighbor vectors for gather-bound serving
         (``packed.pack_neighborhoods``): ~r-fold fewer HBM row gathers per
         search iteration at ``capacity * R * d * itemsize`` bytes of HBM.
-        Plain f32/bf16 datasets only (compressed datasets traverse their own
-        code layouts)."""
-        from .packed import pack_neighborhoods
+
+        LVQ datasets pack neighbor CODES instead
+        (``packed.pack_neighborhoods_lvq``): same r-fold row reduction at
+        1/4 (LVQ8) to 1/8 (LVQ4) of the bf16 packed footprint, with exact
+        primary decode (bit-identical to unpacked LVQ traversal; two-level
+        kinds keep their residual rerank)."""
+        from ...quantization.lvq import LVQDataset
+        from .packed import pack_neighborhoods, pack_neighborhoods_lvq
+        if isinstance(self.data, LVQDataset):
+            self._packed = pack_neighborhoods_lvq(self.graph, self.data,
+                                                  chunk=chunk)
+            return
         if getattr(self.data, "residual_bits", 0) or \
                 not hasattr(self.data, "vectors"):
             raise ValueError("packed serving requires an uncompressed "
-                             "VectorDataset")
+                             "VectorDataset or an LVQDataset")
         self._packed = pack_neighborhoods(self.graph, self.data, dtype,
                                           chunk=chunk)
 
@@ -204,7 +265,8 @@ class VamanaIndex:
         max_iters = params.resolved_max_iters()
         # exact visited filter: a ring of pop_width * max_iters ids holds
         # every expansion the bounded loop can make
-        visited_size = 4 * max_iters if params.visited_set else 0
+        visited_size = (search_mod.SERVING_POP_WIDTH * max_iters
+                        if params.visited_set else 0)
 
         queries = np.asarray(queries)
         if queries.ndim == 1:
@@ -212,50 +274,41 @@ class VamanaIndex:
         nq, dim = queries.shape
         if dim != self.data.dim:
             raise ValueError(f"query dim {dim} != dataset dim {self.data.dim}")
-        qb = self.query_batch_size
+        plan = _BatchPlan.plan(nq, self.query_batch_size)
         entry_ids = jnp.asarray([self.entry_point], dtype=jnp.int32)
         out_ids = np.empty((nq, k), dtype=np.int64)
         out_vals = np.empty((nq, k), dtype=np.float32)
-        # dispatch every batch asynchronously, transfer results afterwards —
-        # batches pipeline through the device queue (the batch-parallel
-        # analog of the reference's per-thread query partitions)
-        # Two-level compressed datasets: traversal keys come from the
-        # primary level; rerank the retained beam with the residual-corrected
-        # reconstruction before taking top-k (the reference's two-level
-        # search flow; calibration_uses_reranking CPO, vamana/extensions.h).
         rerank_view = self.data.full_view() if two_level else None
+        # ONE padded host->device transfer for the whole query set; each
+        # batch then dispatches a single fused executable (device-side
+        # slice + search + key conversion) — the host does nothing between
+        # dispatches but enqueue, and batches pipeline through the device
+        # queue (the batch-parallel analog of the reference's per-thread
+        # query partitions, index.h:556-603).
+        q_host = dt.pad_matrix(queries.astype(np.float32),
+                               n_pad=plan.rows * plan.n_batches,
+                               d_pad=self.data.padded_dim)
+        q_all = jnp.asarray(q_host)
         pending = []
-        for start in range(0, nq, qb):
+        for i in range(plan.n_batches):
             check_cancel(cancel)
-            stop = min(start + qb, nq)
-            rows = min(qb, dt.pad_to(stop - start, 8))
-            batch = dt.pad_matrix(queries[start:stop].astype(np.float32),
-                                  n_pad=rows, d_pad=self.data.padded_dim)
-            out = search_mod.greedy_search(
-                self.graph, self.data, jnp.asarray(batch), entry_ids,
-                window=window, capacity=capacity, max_iters=max_iters,
-                distance=self.distance, packed=self._packed,
-                tail_frac=self.tail_frac, visited_size=visited_size)
-            res_ids, res_keys = out.ids, out.keys
-            if rerank_view is not None:
-                from ...index.ivf.index import rerank_kernel
-                res_keys, res_ids = rerank_kernel(
-                    rerank_view, jnp.asarray(batch), None, out.ids, k=k,
-                    distance=self.distance)
-            # slice to (rows, k) on device and start the device->host copy
-            # without blocking: each blocking transfer costs a full tunnel
-            # round trip (~45 ms), so all batches' results go in flight
-            # before the first is read.
-            ids_k = res_ids[: stop - start, :k]
-            vals_k = dist_ops.value_from_key(
-                self.distance, res_keys[: stop - start, :k])
-            pending.append((start, stop, ids_k, vals_k))
-        for _start, _stop, ids_k, vals_k in pending:
+            ids_k, vals_k = _search_batch(
+                self.graph, self.data, self._packed, rerank_view, q_all,
+                jnp.int32(i * plan.rows), entry_ids,
+                rows=plan.rows, k=k, window=window, capacity=capacity,
+                max_iters=max_iters, distance=self.distance,
+                tail_frac=self.tail_frac, visited_size=visited_size,
+                two_level=two_level)
+            pending.append((i * plan.rows, ids_k, vals_k))
+        # start EVERY device->host copy before the first blocking read:
+        # each blocking transfer costs a full tunnel round trip (~45 ms)
+        for _start, ids_k, vals_k in pending:
             ids_k.copy_to_host_async()
             vals_k.copy_to_host_async()
-        for start, stop, ids_k, vals_k in pending:
-            out_ids[start:stop] = np.asarray(ids_k)
-            out_vals[start:stop] = np.asarray(vals_k)
+        for start, ids_k, vals_k in pending:
+            stop = min(start + plan.rows, nq)
+            out_ids[start:stop] = np.asarray(ids_k)[: stop - start]
+            out_vals[start:stop] = np.asarray(vals_k)[: stop - start]
         return QueryResult(ids=out_ids, distances=out_vals)
 
     # -- reconstruction -----------------------------------------------------------

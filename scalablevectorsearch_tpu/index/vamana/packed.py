@@ -22,6 +22,7 @@ distances are full precision.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -60,3 +61,90 @@ def pack_neighborhoods(graph, data, dtype=jnp.bfloat16,
                          jnp.int32(start), rows=rows, dtype=dtype)
         start += rows
     return out
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["codes", "scales", "biases", "mean"],
+         meta_fields=["bits", "dim"])
+@dataclasses.dataclass
+class PackedLVQNeighborhoods:
+    """Inline LVQ neighbor codes: the packed-neighborhood layout applied to
+    quantized rows.
+
+    The HBM gather is per-ROW limited (PERF.md), so LVQ's smaller rows buy
+    nothing when gathered individually — but packed as (r x code-width)
+    super-rows they keep the r-fold row-count reduction at 1/4 (LVQ8) to
+    1/8 (LVQ4) of the bf16 packed footprint, which is what makes packed
+    serving fit at 10M scale.  The decode (mean + bias + scale * code) is
+    EXACT primary reconstruction in f32, so — unlike lossy bf16 packing —
+    no final re-score pass is needed: results are bit-identical to the
+    unpacked LVQ traversal.  This is the TPU analog of the reference's
+    compressed functors running inside the hot loop
+    (``include/svs/extensions/vamana/scalar.h:22-31``)."""
+
+    codes: jax.Array    # (capacity, R, w1) int8; w1 = d_pad / (8 // bits)
+    scales: jax.Array   # (capacity, R) f32 — per-NEIGHBOR level-1 scale
+    biases: jax.Array   # (capacity, R) f32
+    mean: jax.Array     # (d_pad,) f32 — dataset mean
+    bits: int           # 4 or 8
+    dim: int
+
+    @property
+    def dtype(self):
+        return self.codes.dtype
+
+    def decode(self, popped_flat: jax.Array, rows: int, k: int) -> jax.Array:
+        """Gather + decode super-rows for ``popped_flat`` (rows * m,) node
+        ids -> (rows, k, d_pad) f32 primary reconstructions (k = m * R)."""
+        from ...quantization.lvq import _unpack4
+        m_r = self.codes.shape[1]
+        c = jnp.take(self.codes, popped_flat, axis=0, mode="clip")
+        if self.bits == 4:
+            c = _unpack4(c)
+        s = jnp.take(self.scales, popped_flat, axis=0, mode="clip")
+        b = jnp.take(self.biases, popped_flat, axis=0, mode="clip")
+        d_pad = c.shape[-1]
+        live = (jnp.arange(d_pad) < self.dim).astype(jnp.float32)
+        dec = (self.mean[None, None, :] + b[..., None]
+               + s[..., None] * c.astype(jnp.float32)) * live
+        return dec.reshape(rows, (popped_flat.shape[0] // rows) * m_r, d_pad)
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("rows",))
+def _pack_lvq_step(out_c, out_s, out_b, adjacency, codes, scales, biases,
+                   start, *, rows: int):
+    adj = jax.lax.dynamic_slice(adjacency, (start, 0),
+                                (rows, adjacency.shape[1]))
+    flat = jnp.maximum(adj, 0).reshape(-1)
+    r = adj.shape[1]
+    c = jnp.take(codes, flat, axis=0, mode="clip").reshape(rows, r, -1)
+    s = jnp.take(scales, flat, mode="clip").reshape(rows, r)
+    b = jnp.take(biases, flat, mode="clip").reshape(rows, r)
+    return (jax.lax.dynamic_update_slice(out_c, c, (start, 0, 0)),
+            jax.lax.dynamic_update_slice(out_s, s, (start, 0)),
+            jax.lax.dynamic_update_slice(out_b, b, (start, 0)))
+
+
+def pack_neighborhoods_lvq(graph, lvq, chunk: int = 65536
+                           ) -> PackedLVQNeighborhoods:
+    """Materialize inline neighbor LVQ codes + per-neighbor constants.
+
+    Rows where ``adjacency[v, j] == -1`` hold row 0's codes; consumers mask
+    by the adjacency ids.  Chunked with buffer donation like
+    :func:`pack_neighborhoods`."""
+    cap = graph.adjacency.shape[0]
+    r = graph.adjacency.shape[1]
+    w1 = lvq.codes.shape[1]
+    chunk = min(chunk, cap)
+    out_c = jnp.zeros((cap, r, w1), dtype=jnp.int8)
+    out_s = jnp.zeros((cap, r), dtype=jnp.float32)
+    out_b = jnp.zeros((cap, r), dtype=jnp.float32)
+    start = 0
+    while start < cap:
+        rows = min(chunk, cap - start)
+        out_c, out_s, out_b = _pack_lvq_step(
+            out_c, out_s, out_b, graph.adjacency, lvq.codes, lvq.scales,
+            lvq.biases, jnp.int32(start), rows=rows)
+        start += rows
+    return PackedLVQNeighborhoods(codes=out_c, scales=out_s, biases=out_b,
+                                  mean=lvq.mean, bits=lvq.bits, dim=lvq.dim)

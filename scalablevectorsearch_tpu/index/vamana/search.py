@@ -44,6 +44,11 @@ from ...core.graph import NeighborGraph
 from ...ops import distance as dist_ops
 from ...ops import topk as topk_ops
 
+# Default multi-pop width for serving searches.  Callers sizing exact
+# visited-filter rings must use this same constant (ring capacity =
+# pop_width * max_iters holds every expansion the bounded loop can make).
+SERVING_POP_WIDTH = 4
+
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["ids", "keys", "n_iters", "n_pops", "pool_ids",
@@ -102,7 +107,7 @@ def greedy_search(graph: NeighborGraph,
                   max_iters: int,
                   distance: dist_ops.DistanceType,
                   pool_size: int = 0,
-                  pop_width: int = 4,
+                  pop_width: int = SERVING_POP_WIDTH,
                   packed: Optional[jax.Array] = None,
                   tail_frac: int = 1,
                   visited_size: int = 0) -> SearchOutput:
@@ -236,12 +241,17 @@ def greedy_search(graph: NeighborGraph,
     # kind anyway — PERF.md equal-memory table).
     lvq_mode = (isinstance(data, LVQDataset) and data.bits == 8
                 and (_os.environ.get("SVT_LVQ_KERNEL") or force_kernel))
+    from .packed import PackedLVQNeighborhoods
+    packed_lvq = isinstance(packed, PackedLVQNeighborhoods)
+    if packed_lvq:
+        lvq_mode = False      # super-row decode replaces per-row LVQ gathers
     kernel_ok = (jax.default_backend() == "tpu" or force_kernel) \
         and not _os.environ.get("SVT_NO_BEAM_KERNEL") \
         and custom_score is None
     use_beam_kernel = kernel_ok and (
-        lvq_mode or (isinstance(data, VectorDataset)
-                     and data.dtype in (jnp.float32, jnp.bfloat16)))
+        lvq_mode or packed_lvq
+        or (isinstance(data, VectorDataset)
+            and data.dtype in (jnp.float32, jnp.bfloat16)))
     if use_beam_kernel:
         from ...ops.pallas.beam_step import beam_step, beam_step_lvq
 
@@ -304,7 +314,12 @@ def greedy_search(graph: NeighborGraph,
                         metric=metric_code, window=window, m=m,
                         n_dead=n_dead, interpret=interp)
                 else:
-                    if packed is not None:
+                    if packed_lvq:
+                        # m super-row CODE gathers/query (int8: 1/4 the
+                        # bf16 packed bytes); exact f32 primary decode
+                        # fuses into the kernel-input write
+                        vecs = packed.decode(popped_flat, rows, m * r)
+                    elif packed is not None:
                         # m super-row gathers/query instead of m*r row
                         # gathers; rows of masked ids are garbage, masked
                         # by id in-kernel
@@ -414,7 +429,15 @@ def greedy_search(graph: NeighborGraph,
                 seen = jnp.any(nbrs[:, :, None] == ring[:, None, :],
                                axis=-1)
                 nbrs = jnp.where(seen, -1, nbrs)
-            if packed is not None:
+            if packed_lvq:
+                # super-row code gathers + exact f32 primary decode (XLA
+                # fuses the affine decode into the score chain)
+                vecs = packed.decode(popped_flat, rows, m * r)
+                cand_keys = dist_ops.gathered_keys(
+                    distance, q_rows, vecs, query_norms_sq=q_norms_rows)
+                cand_keys = jnp.where((nbrs >= 0) & (nbrs < data.n),
+                                      cand_keys, jnp.inf)
+            elif packed is not None:
                 vecs = jnp.take(packed, popped_flat, axis=0, mode="clip")
                 vecs = vecs.reshape(rows, m * r, packed.shape[2])
                 cand_keys = dist_ops.gathered_keys(

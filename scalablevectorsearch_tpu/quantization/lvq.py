@@ -353,21 +353,38 @@ class LVQDataset:
                 obj, res_codes=jnp.asarray(rhost),
                 res_scales=_pad1(res_scales, cap, 1.0),
                 residual_bits=residual_bits)
-        # recompute recon norms on device (cheaper than storing them)
-        ids = jnp.arange(cap)
-        live = jnp.arange(cap) < n
-        n1 = jnp.sum(obj.get(ids) ** 2, axis=1)
-        n2 = jnp.sum(obj.get_full(ids) ** 2, axis=1)
-        return dataclasses.replace(
-            obj,
-            norms_sq=jnp.where(live, n1, jnp.inf),
-            full_norms_sq=jnp.where(live, n2, jnp.inf))
+        # recompute recon norms on device, CHUNKED with donated buffers so
+        # the transient decode is one (chunk, d_pad) f32 block instead of a
+        # full (capacity, d_pad) materialization (a 10Mx128 load would OOM
+        # on the decode before the codes themselves do)
+        chunk = 65536
+        n1 = jnp.full(cap, jnp.inf, jnp.float32)
+        n2 = jnp.full(cap, jnp.inf, jnp.float32)
+        start = 0
+        while start < cap:
+            rows = min(chunk, cap - start)
+            n1, n2 = _norms_chunk(n1, n2, obj, jnp.int32(start),
+                                  jnp.int32(n), rows=rows)
+            start += rows
+        return dataclasses.replace(obj, norms_sq=n1, full_norms_sq=n2)
 
 
 def _pad1(a: np.ndarray, cap: int, fill: float = 0.0) -> jax.Array:
     out = np.full(cap, fill, dtype=np.float32)
     out[: a.shape[0]] = a
     return jnp.asarray(out)
+
+
+@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("rows",))
+def _norms_chunk(n1, n2, ds: "LVQDataset", start, n_live, *, rows: int):
+    """Fill ``n1/n2[start:start+rows]`` with primary / two-level recon norms
+    in place (donated buffers; +inf past ``n_live``)."""
+    ids = start + jnp.arange(rows, dtype=jnp.int32)
+    live = ids < n_live
+    a = jnp.where(live, jnp.sum(ds.get(ids) ** 2, axis=1), jnp.inf)
+    b = jnp.where(live, jnp.sum(ds.get_full(ids) ** 2, axis=1), jnp.inf)
+    return (jax.lax.dynamic_update_slice(n1, a, (start,)),
+            jax.lax.dynamic_update_slice(n2, b, (start,)))
 
 
 @partial(jax.tree_util.register_dataclass, data_fields=["base"],
