@@ -49,20 +49,36 @@ CONFIG_FILENAME = "inverted_config.json"
 
 @dataclasses.dataclass
 class InvertedBuildParameters:
-    """(reference inverted/memory_build_params.h)"""
+    """(reference inverted/memory_build_params.h + ClusteringParameters,
+    inverted/clustering.h:46-72)
+
+    ``epsilon`` / ``max_replicas`` / ``refinement_alpha`` drive closure
+    multi-assignment: each point joins the posting list of every centroid
+    within ``bound_with(closest, epsilon)`` of its closest centroid, with
+    the replica set diversity-pruned (RobustPrune at ``refinement_alpha``)
+    to ``max_replicas + 1`` (clustering.h:711-748).  Replication is what
+    makes probe misses recoverable — single assignment caps MIP recall
+    because the query's best-IP centroids need not include the one a point
+    maximizes IP with."""
 
     percent_centroids: float = 0.10
     primary_parameters: VamanaBuildParameters = dataclasses.field(
         default_factory=VamanaBuildParameters)
     seed: int = 0xFEED
+    epsilon: float = 0.05
+    max_replicas: int = 8
+    refinement_alpha: float = 1.0
 
     SCHEMA = "inverted_build_parameters"
-    VERSION = saveload.Version(0, 0, 1)
+    VERSION = saveload.Version(0, 0, 2)
 
     def save_table(self) -> dict:
         return saveload.save_table(self.SCHEMA, self.VERSION, {
             "percent_centroids": self.percent_centroids,
             "seed": self.seed,
+            "epsilon": self.epsilon,
+            "max_replicas": self.max_replicas,
+            "refinement_alpha": self.refinement_alpha,
             "primary_parameters": self.primary_parameters.save_table(),
         })
 
@@ -71,6 +87,9 @@ class InvertedBuildParameters:
         saveload.check_table(table, cls.SCHEMA, cls.VERSION)
         return cls(percent_centroids=table["percent_centroids"],
                    seed=table.get("seed", 0xFEED),
+                   epsilon=table.get("epsilon", 0.05),
+                   max_replicas=table.get("max_replicas", 8),
+                   refinement_alpha=table.get("refinement_alpha", 1.0),
                    primary_parameters=VamanaBuildParameters.from_table(
                        table["primary_parameters"]))
 
@@ -102,6 +121,93 @@ class InvertedSearchParameters:
                    max_probes=table["max_probes"])
 
 
+def _bound_keys(best: jax.Array, epsilon) -> jax.Array:
+    """Per-metric epsilon bound in KEY space (reference
+    inverted/common.h:38-51 ``bound_with`` works in the value domain:
+    L2 distances scale by (1+eps), IP/cosine similarities by 1/(1+eps);
+    keys negate similarities, so negative keys divide instead)."""
+    return jnp.where(best >= 0, best * (1.0 + epsilon),
+                     best / (1.0 + epsilon))
+
+
+@partial(jax.jit, static_argnames=("n_candidates", "n_replicas", "distance",
+                                   "rows"))
+def _closure_assign_chunk(centroids: VectorDataset, x_chunk: jax.Array,
+                          alpha, epsilon, *, n_candidates: int,
+                          n_replicas: int, rows: int,
+                          distance: dist_ops.DistanceType):
+    """Closure multi-assignment for one chunk of points
+    (reference inverted/clustering.h:690-748): nearest-``n_candidates``
+    centroids on the MXU, epsilon cutoff around the closest, RobustPrune
+    the survivors to ``n_replicas`` diverse centroids."""
+    from ...ops import prune as prune_ops
+    q_norms = jnp.sum(x_chunk.astype(jnp.float32) ** 2, axis=-1)
+    k = centroids.capacity
+    keys = centroids.tile_keys(x_chunk, q_norms, 0, k, distance)   # (B, k)
+    cand_keys, cand_ids = topk_ops.smallest_k(
+        keys, None, min(n_candidates, k))
+    bound = _bound_keys(cand_keys[:, :1], epsilon)
+    cand_keys = jnp.where(cand_keys <= bound, cand_keys, jnp.inf)
+    cand_ids = jnp.where(jnp.isfinite(cand_keys), cand_ids, -1)
+    vecs = centroids.get(jnp.maximum(cand_ids, 0)).astype(jnp.float32)
+    norms = jnp.where(cand_ids >= 0,
+                      centroids.norms_of(jnp.maximum(cand_ids, 0)), jnp.inf)
+    # self id -5 never matches a centroid id (reference passes I::max)
+    selfs = jnp.full((rows,), -5, jnp.int32)
+    out, _degs = prune_ops.robust_prune(cand_ids, cand_keys, vecs, norms,
+                                        selfs, alpha, n_replicas, distance)
+    return out
+
+
+def closure_assign(x: np.ndarray, centroid_data: VectorDataset,
+                   distance, epsilon: float, max_replicas: int,
+                   refinement_alpha: float, chunk: int = 4096) -> np.ndarray:
+    """(n, max_replicas + 1) centroid memberships per point, -1-padded.
+    The closest centroid always survives (RobustPrune keeps the best
+    candidate first — clustering.h:730 'Add 1 to max_replicas')."""
+    distance = dist_ops.as_distance(distance)
+    n = x.shape[0]
+    n_replicas = max_replicas + 1
+    n_candidates = max(2 * n_replicas, 16)
+    out = np.full((n, n_replicas), -1, dtype=np.int32)
+    for start in range(0, n, chunk):
+        rows = min(chunk, n - start)
+        rows_pad = dt.pad_to(rows, 8) if rows < chunk else chunk
+        xc = dt.pad_matrix(x[start:start + rows].astype(np.float32),
+                           n_pad=rows_pad, d_pad=centroid_data.padded_dim)
+        got = _closure_assign_chunk(
+            centroid_data, jnp.asarray(xc), jnp.float32(refinement_alpha),
+            jnp.float32(epsilon), n_candidates=n_candidates,
+            n_replicas=n_replicas, rows=rows_pad, distance=distance)
+        out[start:start + rows] = np.asarray(got)[:rows]
+    return out
+
+
+def pack_padded_clusters_multi(x: np.ndarray, memberships: np.ndarray,
+                               k: int, align: int = 8):
+    """Padded-cluster packing with replication: point ``p`` appears in the
+    posting list of every centroid in ``memberships[p]`` (-1 = unused slot).
+    Same layout contract as ``ivf.clustering.pack_padded_clusters``."""
+    pt = np.repeat(np.arange(memberships.shape[0], dtype=np.int64),
+                   memberships.shape[1])
+    c = memberships.reshape(-1).astype(np.int64)
+    live = c >= 0
+    pt, c = pt[live], c[live]
+    sizes = np.bincount(c, minlength=k)
+    slot = int(dt.pad_to(max(int(sizes.max()), 1), align))
+    order = np.argsort(c, kind="stable")
+    sorted_c = c[order]
+    starts = np.zeros(k, dtype=np.int64)
+    np.cumsum(sizes[:-1], out=starts[1:])
+    rank = np.arange(pt.size, dtype=np.int64) - starts[sorted_c]
+    pos = sorted_c * slot + rank
+    ids_padded = np.full(k * slot, -1, dtype=np.int32)
+    ids_padded[pos] = pt[order]
+    rows = np.zeros((k * slot, x.shape[1]), dtype=x.dtype)
+    rows[pos] = x[pt[order]]
+    return rows, ids_padded, slot
+
+
 @partial(jax.jit, static_argnames=(
     "window", "max_iters", "max_probes", "keep", "slot", "sub", "distance"))
 def inverted_search_kernel(graph: NeighborGraph, centroid_data: VectorDataset,
@@ -119,18 +225,17 @@ def inverted_search_kernel(graph: NeighborGraph, centroid_data: VectorDataset,
     probes = out.ids[:, :max_probes]                       # centroid indices
     probe_keys = out.keys[:, :max_probes]
 
-    # epsilon cutoff (memory_based.h cluster selection): keep probes whose
-    # key is within (1 + eps) * best (L2 keys are squared distances; the
-    # multiplicative rule applies in key space for every metric since keys
-    # are smaller-is-better)
+    # epsilon cutoff (memory_based.h:441-454 cluster selection via
+    # inverted/common.h bound_with): keep probes within the per-metric
+    # epsilon bound of the best
     best = probe_keys[:, :1]
-    limit = jnp.where(best >= 0, best * (1.0 + epsilon),
-                      best / (1.0 + epsilon))
-    probe_valid = (probes >= 0) & (probe_keys <= limit)
+    probe_valid = (probes >= 0) & (probe_keys <= _bound_keys(best, epsilon))
 
+    # replicated posting lists (closure assignment) surface the same id from
+    # several probed clusters — the scan's running merge dedups in-flight
     return scan_padded_clusters(data, ids_padded, queries, q_norms, probes,
                                 probe_valid, keep=keep, slot=slot, sub=sub,
-                                distance=distance)
+                                distance=distance, dedup=True)
 
 
 class InvertedIndex:
@@ -176,12 +281,15 @@ class InvertedIndex:
         graph, entry = vamana_build.build_graph(centroid_data, pparams,
                                                 distance, pop_width=1)
 
-        # nearest-centroid assignment: one MXU pass per batch
-        from ..ivf.kmeans import assign_full
-        assign = assign_full(x, x[centroid_ids])
-
-        from ..ivf.clustering import pack_padded_clusters
-        rows, ids_padded, slot = pack_padded_clusters(x, assign, k)
+        # closure multi-assignment (clustering.h:690-748): every centroid
+        # within bound_with(closest, epsilon), RobustPruned to
+        # max_replicas + 1 diverse replicas per point — replication is what
+        # lets an imperfect probe set still cover the true neighbors
+        memberships = closure_assign(
+            x, centroid_data, distance, parameters.epsilon,
+            parameters.max_replicas, parameters.refinement_alpha)
+        rows, ids_padded, slot = pack_padded_clusters_multi(x, memberships,
+                                                            k)
         reordered = VectorDataset.from_array(rows)
         mask = jnp.asarray(ids_padded >= 0)
         reordered = dataclasses.replace(
@@ -204,8 +312,12 @@ class InvertedIndex:
 
     # -- search ------------------------------------------------------------------
     def search(self, queries, k: int,
-               parameters: Optional[InvertedSearchParameters] = None
-               ) -> QueryResult:
+               parameters: Optional[InvertedSearchParameters] = None,
+               cancel=None) -> QueryResult:
+        """``cancel``: optional zero-arg predicate checked between query
+        batch dispatches (reference cancel hooks,
+        tests/integration/cancel.cpp)."""
+        from ...lib.exceptions import check_cancel
         params = parameters or self.search_parameters
         window = max(params.primary_window_size, params.max_probes)
         max_probes = min(params.max_probes, self.num_centroids)
@@ -228,6 +340,7 @@ class InvertedIndex:
         # per-batch blocking reads each cost a tunnel round trip
         pending = []
         for start in range(0, nq, qb):
+            check_cancel(cancel)
             stop = min(start + qb, nq)
             batch = dt.pad_matrix(queries[start:stop].astype(np.float32),
                                   n_pad=min(qb, dt.pad_to(stop - start, 8)),

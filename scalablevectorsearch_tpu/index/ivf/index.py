@@ -49,13 +49,22 @@ CONFIG_FILENAME = "ivf_config.json"
 def scan_padded_clusters(data, ids_padded: jax.Array, queries: jax.Array,
                          q_norms: jax.Array, probes: jax.Array,
                          probe_valid: jax.Array, *, keep: int, slot: int,
-                         sub: int, distance: dist_ops.DistanceType):
+                         sub: int, distance: dist_ops.DistanceType,
+                         dedup: bool = False):
     """Posting-list scan over uniform padded clusters (search_leaves analog,
     common.h:897-925): fori over (probe, sub-tile) steps, each row-gathering
     one tile per query and folding into a running top-``keep``.
 
     ``probes`` (B, P) cluster ids per query; ``probe_valid`` (B, P) masks
-    probes (the inverted index's epsilon cutoff uses this)."""
+    probes (the inverted index's epsilon cutoff uses this).
+
+    ``dedup``: mask candidates already in the running buffer before each
+    merge.  REQUIRED when posting lists replicate points across clusters
+    (inverted closure assignment) — without it a replicated id merges once
+    per probed copy and its duplicates crowd distinct ids out of the
+    top-``keep`` (the same failure mode as the round-2 build-pool
+    duplicate crowding).  Single-assignment layouts (IVF) skip the
+    (B, sub, keep) compare."""
     b = queries.shape[0]
     n_probes = probes.shape[1]
     n_sub = slot // sub
@@ -79,6 +88,8 @@ def scan_padded_clusters(data, ids_padded: jax.Array, queries: jax.Array,
                                       gathered_norms_sq=norms,
                                       query_norms_sq=q_norms)
         keys = jnp.where((orig_ids >= 0) & ok[:, None], keys, jnp.inf)
+        if dedup:
+            keys = topk_ops.mask_duplicate_ids(keys, orig_ids, best_ids)
         return topk_ops.merge_smallest(best_keys, best_ids, keys,
                                        orig_ids, keep)
 
@@ -214,8 +225,12 @@ class IVFIndex:
 
     # -- search ------------------------------------------------------------------------
     def search(self, queries, k: int,
-               parameters: Optional[IVFSearchParameters] = None
-               ) -> QueryResult:
+               parameters: Optional[IVFSearchParameters] = None,
+               cancel=None) -> QueryResult:
+        """``cancel``: optional zero-arg predicate checked between query
+        batch dispatches (the reference threads cancel predicates through
+        every search entry point — tests/integration/cancel.cpp)."""
+        from ...lib.exceptions import check_cancel
         params = parameters or self.search_parameters
         n_probes = min(params.n_probes, self.num_centroids)
         keep = max(k * params.k_reorder, k)
@@ -237,6 +252,7 @@ class IVFIndex:
         # per-batch blocking reads each cost a tunnel round trip
         pending = []
         for start in range(0, nq, qb):
+            check_cancel(cancel)
             stop = min(start + qb, nq)
             batch = dt.pad_matrix(queries[start:stop].astype(np.float32),
                                   n_pad=min(qb, dt.pad_to(stop - start, 8)),

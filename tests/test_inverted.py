@@ -28,11 +28,20 @@ class TestInvertedIndex:
         index, data, queries, gt = built
         assert index.num_centroids == 400
         assert index.size == 4000
-        # every point appears exactly once in posting lists
+        # closure multi-assignment (clustering.h:690-748): every point
+        # appears at least once and at most max_replicas + 1 times
         ids = np.asarray(index.ids_padded)
         live = ids[ids >= 0]
-        assert live.size == 4000
-        assert len(np.unique(live)) == 4000
+        uniq, counts = np.unique(live, return_counts=True)
+        assert len(uniq) == 4000                      # full coverage
+        assert live.size >= 4000                      # replication happened
+        assert counts.max() <= \
+            index.build_parameters.max_replicas + 1
+        # no duplicate ids surface in results despite replicated lists
+        res = index.search(queries[:16], 10)
+        for row in res.ids:
+            live_row = row[row >= 0]
+            assert len(np.unique(live_row)) == len(live_row)
 
     def test_recall_improves_with_epsilon(self, built):
         index, data, queries, gt = built
