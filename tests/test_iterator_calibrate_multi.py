@@ -153,3 +153,60 @@ class TestMultiVector:
         assert not index.has_id(0)
         res = index.search(queries[:8], 5)
         assert 0 not in res.ids and 100 not in res.ids
+
+    def test_skewed_multiplicity_still_finds_k_labels(self, small_dataset):
+        """One hot label owning most vectors must not starve the result of
+        distinct labels (the fetch loop doubles until k labels are found)."""
+        data, queries = small_dataset
+        rng = np.random.default_rng(1)
+        q = queries[:4]
+        # 120 near-duplicates of the query region under ONE label, plus 50
+        # singleton labels further away
+        hot = (q[0][None, :]
+               + rng.normal(scale=0.02, size=(120, data.shape[1]))
+               ).astype(np.float32)
+        singles = (q[0][None, :] + rng.normal(
+            scale=1.5, size=(50, data.shape[1]))).astype(np.float32)
+        vecs = np.concatenate([hot, singles])
+        labels = np.concatenate([np.zeros(120, np.int64),
+                                 1 + np.arange(50, dtype=np.int64)])
+        params = VamanaBuildParameters(graph_max_degree=16, window_size=48)
+        index = MultiMutableVamanaIndex(params, vecs, labels, "l2")
+        index.search_window_size = 64
+        res = index.search(q, 10)
+        for row in res.ids:
+            live = row[row >= 0]
+            assert len(live) == 10                       # k labels found
+            assert len(np.unique(live)) == 10
+
+    def test_dedup_by_label_vectorized(self):
+        """dedup_by_label: first occurrence per (row, label), order kept."""
+        from scalablevectorsearch_tpu.index.vamana.multi import \
+            dedup_by_label
+        labels = np.array([[7, 7, 3, -1, 3, 9],
+                           [1, 2, 3, 4, 5, 6]], dtype=np.int64)
+        vals = np.arange(12, dtype=np.float32).reshape(2, 6)
+        out_l, out_v, n = dedup_by_label(labels, vals, 3)
+        np.testing.assert_array_equal(out_l, [[7, 3, 9], [1, 2, 3]])
+        np.testing.assert_array_equal(out_v, [[0, 2, 5], [6, 7, 8]])
+        np.testing.assert_array_equal(n, [3, 6])
+
+    def test_save_assemble_roundtrip(self, tmp_path, small_dataset):
+        """Multi-vector persistence (reference multi.h:602-628 save +
+        reload ctor :248): identical search results after reload."""
+        from scalablevectorsearch_tpu.index.vamana.multi import \
+            MultiMutableVamanaIndex as MV
+        data, queries = small_dataset
+        params = VamanaBuildParameters(graph_max_degree=16, window_size=32)
+        index = MV(params, data[:300], np.arange(300) // 3, "l2")
+        index.add_points(data[300:304], [200, 200, 201, 201])
+        index.delete_points([1])
+        index.save(str(tmp_path / "multi"))
+        loaded = MV.assemble(str(tmp_path / "multi"))
+        assert loaded.size == index.size
+        assert loaded.num_vectors == index.num_vectors
+        assert not loaded.has_id(1) and loaded.has_id(200)
+        a = index.search(queries[:8], 5)
+        b = loaded.search(queries[:8], 5)
+        np.testing.assert_array_equal(a.ids, b.ids)
+        np.testing.assert_allclose(a.distances, b.distances, rtol=1e-6)
