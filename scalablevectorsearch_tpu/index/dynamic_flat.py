@@ -60,7 +60,11 @@ class DynamicFlatIndex:
         return external_id in self.translator
 
     # -- search ----------------------------------------------------------------
-    def search(self, queries, k: int) -> QueryResult:
+    def search(self, queries, k: int, cancel=None) -> QueryResult:
+        """``cancel``: optional zero-arg predicate checked between query
+        batch dispatches (reference cancel hooks,
+        tests/integration/cancel.cpp)."""
+        from ..lib.exceptions import check_cancel
         queries = np.asarray(queries)
         if queries.ndim == 1:
             queries = queries[None, :]
@@ -80,6 +84,7 @@ class DynamicFlatIndex:
         # per-batch blocking reads each cost a tunnel round trip
         pending = []
         for start in range(0, nq, qb):
+            check_cancel(cancel)
             stop = min(start + qb, nq)
             batch = dt.pad_matrix(queries[start:stop].astype(np.float32),
                                   n_pad=min(qb, dt.pad_to(stop - start, 8)),

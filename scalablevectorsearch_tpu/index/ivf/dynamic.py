@@ -115,8 +115,12 @@ class DynamicIVFIndex:
 
     # -- search --------------------------------------------------------------------
     def search(self, queries, k: int,
-               parameters: Optional[IVFSearchParameters] = None
-               ) -> QueryResult:
+               parameters: Optional[IVFSearchParameters] = None,
+               cancel=None) -> QueryResult:
+        """``cancel``: optional zero-arg predicate checked between query
+        batch dispatches (reference cancel hooks,
+        tests/integration/cancel.cpp)."""
+        from ...lib.exceptions import check_cancel
         params = parameters or IVFSearchParameters()
         n_probes = min(params.n_probes, self.k)
         keep = max(k * params.k_reorder, k)
@@ -136,6 +140,7 @@ class DynamicIVFIndex:
         # per-batch blocking reads each cost a tunnel round trip
         pending = []
         for start in range(0, nq, qb):
+            check_cancel(cancel)
             stop = min(start + qb, nq)
             batch = dt.pad_matrix(queries[start:stop].astype(np.float32),
                                   n_pad=min(qb, dt.pad_to(stop - start, 8)),

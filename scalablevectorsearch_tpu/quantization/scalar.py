@@ -51,7 +51,7 @@ class SQDataset:
     terms.
     """
 
-    codes: jax.Array        # (capacity, d_pad) int8
+    codes: jax.Array        # (capacity, d_pad) int8 / uint8 / int16
     norms_sq: jax.Array     # (capacity,) f32 — reconstructed-vector norms
     code_sums: jax.Array    # (capacity,) f32 — Σ codes per row
     scale: jax.Array        # () f32
@@ -66,21 +66,28 @@ class SQDataset:
         """Fit global min/max and quantize (reference scalar.h:199-251).
 
         Codes c = round((x - bias) / scale) clamped to the dtype range, with
-        scale = (max - min) / (2^bits - 1), bias = min.
-        """
+        scale = (max - min) / (2^bits - 1) and bias centering the codes in
+        the dtype's range.  Generic over integer code element types —
+        int8 / uint8 / int16 — like the reference's template parameter
+        (scalar.h:363)."""
         x = np.asarray(x, dtype=np.float32)
         n, dim = x.shape
-        if dtype != jnp.int8:
-            raise NotImplementedError("only int8 codes supported currently")
+        np_dtype = np.dtype(jnp.dtype(dtype).name)
+        if np_dtype not in (np.dtype(np.int8), np.dtype(np.uint8),
+                            np.dtype(np.int16)):
+            raise ValueError(
+                f"SQ codes must be int8/uint8/int16, got {np_dtype}")
+        info = np.iinfo(np_dtype)
         lo, hi = float(x.min()), float(x.max())
-        levels = 255.0
+        levels = float(info.max - info.min)
         scale = max((hi - lo) / levels, 1e-12)
-        bias = lo + 128.0 * scale           # center so codes span [-128, 127]
-        codes = np.clip(np.rint((x - bias) / scale), -128, 127).astype(np.int8)
+        bias = lo - info.min * scale        # code info.min decodes to `lo`
+        codes = np.clip(np.rint((x - bias) / scale),
+                        info.min, info.max).astype(np_dtype)
 
         d_pad = dt.padded_dim(dim)
         cap = dt.pad_to(capacity if capacity is not None else n, 32)
-        host = np.zeros((cap, d_pad), dtype=np.int8)
+        host = np.zeros((cap, d_pad), dtype=np_dtype)
         host[:n, :dim] = codes
         codes_dev = jnp.asarray(host)
 
@@ -159,11 +166,12 @@ class SQDataset:
     def quantize_queries(self, queries: jax.Array) -> jax.Array:
         """Quantize f32 queries into the code domain (the L2 functor's
         fix_argument step, reference scalar.h:58-105).  Dead (padding)
-        columns map to 0 so int8 matmuls see them as no-ops."""
+        columns map to 0 so code-domain matmuls see them as no-ops."""
+        info = np.iinfo(np.dtype(jnp.dtype(self.codes.dtype).name))
         live = jnp.arange(self.padded_dim) < self.dim
         q = jnp.clip(jnp.rint((queries - self.bias) / self.scale),
-                     -128, 127)
-        return jnp.where(live[None, :], q, 0.0).astype(jnp.int8)
+                     info.min, info.max)
+        return jnp.where(live[None, :], q, 0.0).astype(self.codes.dtype)
 
     def tile_keys(self, queries: jax.Array, q_norms: jax.Array,
                   start, tile: int, distance) -> jax.Array:
@@ -183,9 +191,18 @@ class SQDataset:
 
         qc = self.quantize_queries(queries)
         qsums = jnp.sum(qc.astype(jnp.float32), axis=-1)
-        dots_i = jax.lax.dot_general(
-            qc, xs, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32).astype(jnp.float32)
+        if self.codes.dtype == jnp.int8:
+            # int8 x int8 -> int32 runs at the MXU's highest rate
+            dots_i = jax.lax.dot_general(
+                qc, xs, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+        else:
+            # uint8/int16 codes: int32 accumulation would overflow for
+            # int16 (|c|^2 * d > 2^31 at d=128); accumulate in f32
+            dots_i = jax.lax.dot_general(
+                qc.astype(jnp.float32), xs.astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
         s, b = self.scale, self.bias
         dots = (s * s) * dots_i + (s * b) * (qsums[:, None]
                                              + xsums[None, :]) \
@@ -222,6 +239,7 @@ class SQDataset:
             "binary_file": blob,
             "dims": self.dim,
             "num_vectors": self.n,
+            "eltype": np.dtype(jnp.dtype(self.codes.dtype).name).name,
             "scale": float(self.scale),
             "bias": float(self.bias),
         })
@@ -229,12 +247,13 @@ class SQDataset:
     @classmethod
     def load(cls, table: dict, ctx: saveload.LoadContext, **_) -> "SQDataset":
         saveload.check_table(table, cls.SCHEMA, cls.VERSION)
-        codes = ctx.load_array(table["binary_file"]).astype(np.int8)
+        eltype = np.dtype(table.get("eltype", "int8"))
+        codes = ctx.load_array(table["binary_file"]).astype(eltype)
         n, dim = codes.shape
         scale, bias = table["scale"], table["bias"]
         d_pad = dt.padded_dim(dim)
         cap = dt.pad_to(n, 32)
-        host = np.zeros((cap, d_pad), dtype=np.int8)
+        host = np.zeros((cap, d_pad), dtype=eltype)
         host[:n, :dim] = codes
         recon = codes.astype(np.float32) * scale + bias
         norms = np.full((cap,), np.inf, dtype=np.float32)

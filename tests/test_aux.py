@@ -48,6 +48,42 @@ class TestCancellation:
         with pytest.raises(SearchCancelled):
             idx.search(queries[:100], 5, cancel=lambda: True)
 
+    def test_every_index_cancels(self, small_dataset):
+        """Cancel predicates thread through EVERY search entry point, like
+        the reference (tests/integration/cancel.cpp covers all index
+        kinds)."""
+        from scalablevectorsearch_tpu.index.dynamic_flat import \
+            DynamicFlatIndex
+        from scalablevectorsearch_tpu.index.inverted.index import (
+            InvertedBuildParameters, InvertedIndex)
+        from scalablevectorsearch_tpu.index.ivf.clustering import Clustering
+        from scalablevectorsearch_tpu.index.ivf.dynamic import \
+            DynamicIVFIndex
+        from scalablevectorsearch_tpu.index.ivf.index import IVFIndex
+        data, queries = small_dataset
+        n = 400
+        ivf_params = svt.IVFBuildParameters(num_centroids=8,
+                                            is_hierarchical=False)
+        clustering = Clustering.build(ivf_params, data[:n])
+        indexes = [
+            DynamicFlatIndex(data[:n], np.arange(n), "l2",
+                             query_batch_size=16),
+            IVFIndex.build(ivf_params, data[:n], "l2", query_batch_size=16),
+            InvertedIndex.build(InvertedBuildParameters(), data[:n], "l2",
+                                query_batch_size=16),
+            svt.MutableVamanaIndex(
+                svt.VamanaBuildParameters(graph_max_degree=16,
+                                          window_size=24),
+                data[:n], np.arange(n), "l2", query_batch_size=16),
+            DynamicIVFIndex(clustering, data[:n], np.arange(n), "l2",
+                            query_batch_size=16),
+        ]
+        for idx in indexes:
+            with pytest.raises(SearchCancelled):
+                idx.search(queries[:100], 5, cancel=lambda: True)
+            res = idx.search(queries[:8], 5, cancel=lambda: False)
+            assert res.ids.shape == (8, 5)
+
 
 class TestUpgrader:
     def test_inspect_current_checkpoint(self, tmp_path, small_dataset):

@@ -51,6 +51,34 @@ class TestSQDataset:
         np.testing.assert_allclose(sq2.to_numpy(), sq.to_numpy(), atol=1e-6)
         assert float(sq2.scale) == pytest.approx(float(sq.scale))
 
+    @pytest.mark.parametrize("dtype", [jnp.int8, jnp.uint8, jnp.int16])
+    def test_code_dtype_matrix(self, tmp_path, rng, dtype):
+        """SQ is generic over code element types like the reference
+        (scalar.h:363): reconstruction bound, code-domain search, and
+        save/load for each supported dtype."""
+        x = (rng.normal(size=(400, 32)) * 3).astype(np.float32)
+        q = (rng.normal(size=(20, 32)) * 3).astype(np.float32)
+        sq = SQDataset.compress(x, dtype=dtype)
+        assert sq.codes.dtype == jnp.dtype(dtype)
+        err = np.abs(sq.to_numpy() - x).max()
+        assert err <= sq.max_abs_error() + 1e-5
+        # int16 has 256x finer resolution than the 8-bit kinds
+        if dtype == jnp.int16:
+            assert err < 1e-3
+        index = FlatIndex(sq, "l2", data_batch_size=128)
+        res = index.search(q, 10)
+        gt = svt.exhaustive_search(x, q, 10)
+        assert svt.k_recall_at_n(gt, res) >= 0.9
+        saveload.save_to_disk(sq, str(tmp_path / "sq"))
+        sq2 = dispatch_load(str(tmp_path / "sq"))
+        assert sq2.codes.dtype == jnp.dtype(dtype)
+        np.testing.assert_allclose(sq2.to_numpy(), sq.to_numpy(), atol=1e-6)
+
+    def test_rejects_unsupported_dtype(self, rng):
+        x = rng.normal(size=(10, 8)).astype(np.float32)
+        with pytest.raises(ValueError):
+            SQDataset.compress(x, dtype=jnp.int32)
+
     def test_vamana_over_sq(self, small_dataset):
         """Vamana build + search over SQ codes (the dataset-protocol path
         the examples use; regression: SQDataset once lacked norms_of and
@@ -104,6 +132,30 @@ class TestLVQDataset:
         gt = svt.exhaustive_search(data, queries, 10)
         rec = svt.k_recall_at_n(gt, idx.search(queries, 10))
         assert rec >= 0.85
+
+    @pytest.mark.parametrize("bits,res", [(8, 0), (4, 0), (8, 8)])
+    def test_lvq_packed_serving_bit_identical(self, small_dataset, bits,
+                                              res):
+        """LVQ-packed neighborhoods decode the EXACT primary reconstruction
+        (packed.pack_neighborhoods_lvq): results must be bit-identical to
+        the unpacked LVQ traversal at every window, unlike lossy bf16
+        packing (which re-scores)."""
+        from scalablevectorsearch_tpu.index.vamana.packed import \
+            PackedLVQNeighborhoods
+        data, queries = small_dataset
+        lvq = LVQDataset.compress(data, bits=bits, residual_bits=res)
+        params = VamanaBuildParameters(graph_max_degree=16,
+                                       window_size=32, alpha=1.1)
+        idx = VamanaIndex.build(params, lvq, "l2", batch_size=256)
+        idx.search_window_size = 20
+        plain = idx.search(queries[:64], 10)
+        idx.enable_packed_serving()
+        assert isinstance(idx._packed, PackedLVQNeighborhoods)
+        packed = idx.search(queries[:64], 10)
+        np.testing.assert_array_equal(plain.ids, packed.ids)
+        np.testing.assert_allclose(plain.distances, packed.distances,
+                                   rtol=1e-6)
+        idx.disable_packed_serving()
 
     def test_save_load(self, tmp_path, rng):
         x = rng.normal(size=(40, 24)).astype(np.float32)
