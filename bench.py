@@ -3,25 +3,37 @@
 
 Builds a Vamana index over a clustered synthetic dataset on the real TPU,
 sweeps the search window to find the smallest config reaching recall@10 >= 0.9
-against exact (flat) ground truth, and reports steady-state QPS there.
+against exact (flat) ground truth, and reports steady-state QPS there — then
+repeats build + serving at 1M scale in the same (warm) process so the
+driver-tracked number covers both scales (BASELINE.md's ≤2x-Xeon 1M build
+target).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "qps", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "qps", "vs_baseline": N,
+   "build_s": ..., "latency": {p50/p95/p99}, "scale_1m": {...}}
 
 ``vs_baseline`` is measured QPS divided by BASELINE_QPS — a nominal stand-in
 for the reference's CPU throughput at the same operating point (the reference
 repo publishes no in-tree absolute QPS numbers; see BASELINE.md).
 
+Timing accounting: the axon TPU plugin's FIRST lowering in a process goes
+through a remote compile service and costs minutes regardless of program size
+(measured one-time and order-independent — PERF.md "Round-3 levers" 1).  That
+warm-up is paid up front on a tiny dummy program, overlapped with host-side
+dataset generation, and reported separately as ``plugin_warmup_s`` — build_s
+then measures what a warm production process pays, which is the number
+comparable to the reference's build times.
+
 Environment knobs: SVT_BENCH_N (default 100000), SVT_BENCH_DIM (128),
-SVT_BENCH_QUERIES (5000).  The query count is the throughput-measurement
-batch: the TPU sits behind a ~45 ms tunnel, so QPS is measured at a batch
-size large enough to amortize per-dispatch latency (the reference measures
-steady-state QPS the same way — full query sets per run).
+SVT_BENCH_QUERIES (5000), SVT_BENCH_QB (query batch rows), SVT_BENCH_1M=0
+(skip the 1M scale), SVT_BENCH_BUDGET_S (default 2700: skip the 1M phase if
+the 100k phase already used more than half the budget).
 """
 
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -39,16 +51,19 @@ from scalablevectorsearch_tpu.index.vamana.params import (  # noqa: E402
 BASELINE_QPS = 10_000.0
 
 
-def main():
-    n = int(os.environ.get("SVT_BENCH_N", 100_000))
-    dim = int(os.environ.get("SVT_BENCH_DIM", 128))
-    nq = int(os.environ.get("SVT_BENCH_QUERIES", 5000))
-    k = 10
-
-    data, queries = svt.generate_test_dataset(n, nq, dim, seed=42)
-
+def _plugin_warmup(out):
+    """Absorb the axon plugin's one-time first-lowering cost on a tiny
+    program (runs on a background thread, overlapped with dataset gen)."""
+    import jax
+    import jax.numpy as jnp
     t0 = time.time()
-    alpha = float(os.environ.get("SVT_BENCH_ALPHA", 1.1))
+    jax.block_until_ready(jax.jit(lambda x: x @ x)(jnp.ones((128, 128))))
+    out["warmup_s"] = time.time() - t0
+
+
+def _build_and_serve(data, queries, k, alpha, windows, label):
+    """Build, pack, sweep windows to recall>=0.9; returns a result dict."""
+    t0 = time.time()
     params = VamanaBuildParameters(alpha=alpha, graph_max_degree=32,
                                    window_size=100,
                                    max_candidate_pool_size=300, prune_to=28)
@@ -56,8 +71,8 @@ def main():
     if os.environ.get("SVT_BENCH_QB"):
         index.query_batch_size = int(os.environ["SVT_BENCH_QB"])
     build_s = time.time() - t0
-    print(f"# build: {build_s:.1f}s mean_degree={index.graph.mean_degree():.1f}",
-          file=sys.stderr)
+    print(f"# {label} build: {build_s:.1f}s "
+          f"mean_degree={index.graph.mean_degree():.1f}", file=sys.stderr)
 
     if os.environ.get("SVT_BENCH_PACKED", "1") != "0":
         # packed-neighborhood serving: r-fold fewer HBM row gathers/iter
@@ -68,9 +83,10 @@ def main():
               file=sys.stderr)
 
     gt = svt.exhaustive_search(data, queries, k)
+    nq = len(queries)
 
     best = None
-    for window in (10, 16, 20, 24, 26, 28, 32, 48, 64, 96, 128):
+    for window in windows:
         index.search_window_size = window
         res = index.search(queries, k)       # warm compile + measure recall
         recall = svt.k_recall_at_n(gt, res)
@@ -83,26 +99,80 @@ def main():
             for _ in range(reps):
                 index.search(queries, k)
             qps = max(qps, nq * reps / (time.time() - t0))
-        print(f"# window={window} recall@10={recall:.4f} qps={qps:.0f}",
-              file=sys.stderr)
+        print(f"# {label} window={window} recall@10={recall:.4f} "
+              f"qps={qps:.0f}", file=sys.stderr)
         if recall >= 0.9:
             best = (window, recall, qps)
             break
     if best is None:
-        best = (128, recall, qps)
-
+        best = (windows[-1], recall, qps)
     window, recall, qps = best
-    print(json.dumps({
+
+    # per-batch dispatch latency distribution at the operating point
+    # (tail latency is first-class — reference search.h:80,209-218)
+    qb = index.query_batch_size
+    lat = []
+    for i in range(min(-(-nq // qb), 16)):
+        batch = queries[i * qb: (i + 1) * qb]
+        t1 = time.time()
+        index.search(batch, k)
+        lat.append((time.time() - t1) * 1e6)
+    latency = {"p50_us": round(float(np.percentile(lat, 50)), 1),
+               "p95_us": round(float(np.percentile(lat, 95)), 1),
+               "p99_us": round(float(np.percentile(lat, 99)), 1),
+               "batch_queries": min(qb, nq)}
+    return {"build_s": round(build_s, 1), "qps": round(qps, 1),
+            "recall": round(float(recall), 4), "window": window,
+            "latency": latency}
+
+
+def main():
+    started = time.time()
+    budget_s = float(os.environ.get("SVT_BENCH_BUDGET_S", 2700))
+    warm = {}
+    warm_thread = threading.Thread(target=_plugin_warmup, args=(warm,))
+    warm_thread.start()
+
+    n = int(os.environ.get("SVT_BENCH_N", 100_000))
+    dim = int(os.environ.get("SVT_BENCH_DIM", 128))
+    nq = int(os.environ.get("SVT_BENCH_QUERIES", 5000))
+    k = 10
+    alpha = float(os.environ.get("SVT_BENCH_ALPHA", 1.1))
+
+    data, queries = svt.generate_test_dataset(n, nq, dim, seed=42)
+    warm_thread.join()
+    print(f"# plugin warm-up (one-time, overlapped with datagen): "
+          f"{warm.get('warmup_s', 0):.1f}s", file=sys.stderr)
+
+    head = _build_and_serve(data, queries, k, alpha,
+                            (10, 16, 20, 24, 26, 28, 32, 48, 64, 96, 128),
+                            f"{n // 1000}k")
+
+    scale_1m = None
+    elapsed = time.time() - started
+    if os.environ.get("SVT_BENCH_1M", "1") != "0" and n < 1_000_000 \
+            and elapsed < budget_s / 2:
+        data1, queries1 = svt.generate_test_dataset(1_000_000, 2000, dim,
+                                                    seed=7)
+        scale_1m = _build_and_serve(data1, queries1, k, alpha,
+                                    (24, 32, 48, 64), "1M")
+
+    out = {
         "metric": f"vamana_qps_at_recall0.9 (n={n}, d={dim}, "
-                  f"window={window}, recall={recall:.4f}, "
-                  f"build_s={build_s:.1f})",
-        "value": round(qps, 1),
+                  f"window={head['window']}, recall={head['recall']:.4f}, "
+                  f"build_s={head['build_s']})",
+        "value": head["qps"],
         "unit": "qps",
-        "vs_baseline": round(qps / BASELINE_QPS, 4),
-        "build_s": round(build_s, 1),
-        "recall": round(float(recall), 4),
-        "window": window,
-    }))
+        "vs_baseline": round(head["qps"] / BASELINE_QPS, 4),
+        "build_s": head["build_s"],
+        "recall": head["recall"],
+        "window": head["window"],
+        "latency": head["latency"],
+        "plugin_warmup_s": round(warm.get("warmup_s", 0.0), 1),
+    }
+    if scale_1m is not None:
+        out["scale_1m"] = scale_1m
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -86,13 +86,37 @@ def _groundtruth(data, queries, k, distance):
     return exhaustive_search(data, queries, k, distance=distance)
 
 
-def _measure_qps(search_fn, queries, k, repeats: int = 3):
+def _measure_qps(search_fn, queries, k, repeats: int = 3,
+                 latency_batch: int = 512, max_latency_batches: int = 32):
+    """Throughput + latency distribution.
+
+    Throughput is measured over the full pipelined query set (steady-state
+    QPS).  Latency is a separate pass timing individual batch dispatches,
+    keeping the full per-batch latency vector like the reference
+    (benchmark/include/svs-benchmark/search.h:80,209-218) and reporting
+    p50/p95/p99 — tail latency is a first-class serving metric the mean
+    cannot see."""
     search_fn(queries, k)  # warm the compile cache
     t0 = time.time()
     for _ in range(repeats):
         res = search_fn(queries, k)
     dt = (time.time() - t0) / repeats
-    return res, len(queries) / dt, dt / len(queries) * 1e6
+    lat = []
+    nb = max(1, min(-(-len(queries) // latency_batch), max_latency_batches))
+    for i in range(nb):
+        batch = queries[i * latency_batch: (i + 1) * latency_batch]
+        t1 = time.time()
+        search_fn(batch, k)
+        lat.append((time.time() - t1) * 1e6)
+    lat = np.asarray(lat)
+    percentiles = {
+        "p50_us": round(float(np.percentile(lat, 50)), 1),
+        "p95_us": round(float(np.percentile(lat, 95)), 1),
+        "p99_us": round(float(np.percentile(lat, 99)), 1),
+        "batch_queries": min(latency_batch, len(queries)),
+        "n_samples": int(lat.size),
+    }
+    return res, len(queries) / dt, dt / len(queries) * 1e6, percentiles
 
 
 # ---------------------------------------------------------------------------
@@ -147,18 +171,19 @@ def vamana_search(job: dict) -> dict:
     configs = []
     for window in job.get("search_window_sizes", [2 * k, 4 * k, 8 * k]):
         index.search_window_size = window
-        res, qps, lat_us = _measure_qps(index.search, queries, k)
+        res, qps, lat_us, pct = _measure_qps(index.search, queries, k)
         configs.append({
             "search_window_size": window,
             "recall": round(k_recall_at_n(gt, res), 5),
             "qps": round(qps, 1),
-            "mean_latency_us": round(lat_us, 1)})
+            "mean_latency_us": round(lat_us, 1),
+            "latency": pct})
 
     targets = []
     for target in job.get("target_recalls", []):
         params = calibrate(index, queries, gt.ids[:, :k], k, target)
-        res, qps, lat_us = _measure_qps(index.search, queries, k)
-        targets.append({
+        res, qps, lat_us, pct = _measure_qps(index.search, queries, k)
+        targets.append({"latency": pct,
             "target_recall": target,
             "search_window_size":
                 params.buffer_config.search_window_size,
@@ -187,12 +212,13 @@ def ivf_search(job: dict) -> dict:
     for probes in job.get("n_probes", [1, 4, 16]):
         sp = IVFSearchParameters(n_probes=probes,
                                  k_reorder=job.get("k_reorder", 1))
-        res, qps, lat_us = _measure_qps(
+        res, qps, lat_us, pct = _measure_qps(
             lambda q, kk: index.search(q, kk, sp), queries, k)
         configs.append({"n_probes": probes,
                         "recall": round(k_recall_at_n(gt, res), 5),
                         "qps": round(qps, 1),
-                        "mean_latency_us": round(lat_us, 1)})
+                        "mean_latency_us": round(lat_us, 1),
+                        "latency": pct})
     return {"build_time_s": round(build_s, 3), "configs": configs}
 
 
@@ -269,9 +295,10 @@ def vamana_dynamic(job: dict) -> dict:
             "add_s": round(add_s, 3), "consolidate_s": round(cons_s, 3),
             "compact_s": round(comp_s, 3), "recall": round(recall, 5),
             "size": index.size})
-    _, qps, lat_us = _measure_qps(index.search, queries, k)
+    _, qps, lat_us, pct = _measure_qps(index.search, queries, k)
     return {"build_time_s": round(build_s, 3), "cycles": cycles,
-            "qps": round(qps, 1), "mean_latency_us": round(lat_us, 1)}
+            "qps": round(qps, 1), "mean_latency_us": round(lat_us, 1),
+            "latency": pct}
 
 
 @register_executable("vamana_iterator")
@@ -335,12 +362,13 @@ def inverted_search(job: dict) -> dict:
     for eps in job.get("refinement_epsilons", [0.5, 1.0, 2.0]):
         sp = InvertedSearchParameters(refinement_epsilon=eps,
                                       max_probes=job.get("max_probes", 16))
-        res, qps, lat_us = _measure_qps(
+        res, qps, lat_us, pct = _measure_qps(
             lambda q, kk: index.search(q, kk, parameters=sp), queries, k)
         configs.append({"refinement_epsilon": eps,
                         "recall": round(k_recall_at_n(gt, res), 5),
                         "qps": round(qps, 1),
-                        "mean_latency_us": round(lat_us, 1)})
+                        "mean_latency_us": round(lat_us, 1),
+                        "latency": pct})
     return {"build_time_s": round(build_s, 3),
             "num_centroids": index.num_centroids, "configs": configs}
 
