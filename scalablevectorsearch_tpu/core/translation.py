@@ -137,3 +137,11 @@ class IDTranslator:
     def all_external_ids(self) -> np.ndarray:
         """All live external ids, ascending."""
         return self._ext_sorted.copy()
+
+    def copy(self) -> "IDTranslator":
+        """Deep copy (used when re-sharding an index across a mesh)."""
+        obj = IDTranslator.__new__(IDTranslator)
+        obj._ext_sorted = self._ext_sorted.copy()
+        obj._slot_for_ext = self._slot_for_ext.copy()
+        obj._int_to_ext = self._int_to_ext.copy()
+        return obj

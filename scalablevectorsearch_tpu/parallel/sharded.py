@@ -379,6 +379,226 @@ class ShardedDataShard:
         return jax.lax.pmin(keys, self.axis)
 
 
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["codes", "scales", "biases", "mean", "norms_sq",
+                      "res_codes", "res_scales", "full_norms_sq"],
+         meta_fields=["axis", "n", "dim", "bits", "residual_bits"])
+@dataclasses.dataclass
+class ShardedLVQShard:
+    """Per-device block of LVQ rows (codes + per-row constants sharded, mean
+    replicated); methods are valid inside shard_map.
+
+    The compressed counterpart of :class:`ShardedDataShard` (VERDICT r2 ask
+    4): decode is LOCAL — only (B, K) key panels (pmin) or decoded row
+    blocks the caller explicitly asked for (psum) cross the interconnect,
+    never the code arrays.  Mirrors ``LVQDataset.get`` (quantization/lvq.py)
+    bit-for-bit so sharded traversal is bit-identical to single-chip LVQ
+    traversal; the multi-chip analog of the reference's compressed functors
+    under NUMA partitioning (include/svs/lib/numa.h:230,
+    extensions/vamana/scalar.h:22-31)."""
+
+    codes: jax.Array        # (rows_per_shard, w1) int8
+    scales: jax.Array       # (rows_per_shard,) f32
+    biases: jax.Array       # (rows_per_shard,) f32
+    mean: jax.Array         # (d_pad,) f32 — replicated
+    norms_sq: jax.Array     # (rows_per_shard,) f32 — primary recon norms
+    res_codes: jax.Array    # (rows_per_shard, w2) int8; (rps, 0) if absent
+    res_scales: jax.Array   # (rows_per_shard,) f32
+    full_norms_sq: jax.Array  # (rows_per_shard,) f32
+    axis: str
+    n: int                  # global live row count
+    dim: int
+    bits: int
+    residual_bits: int
+
+    @property
+    def rows_per_shard(self) -> int:
+        return self.codes.shape[0]
+
+    @property
+    def padded_dim(self) -> int:
+        return self.codes.shape[1] * (8 // self.bits)
+
+    def _local(self, ids: jax.Array):
+        offset = jax.lax.axis_index(self.axis) * self.rows_per_shard
+        lid = ids - offset
+        mine = (ids >= 0) & (lid >= 0) & (lid < self.rows_per_shard)
+        return jnp.clip(lid, 0, self.rows_per_shard - 1), mine
+
+    def _decode_local(self, lid: jax.Array) -> jax.Array:
+        """Primary-level decode of local rows — mirrors LVQDataset.get."""
+        from ..quantization.lvq import _unpack4
+        rows = jnp.take(self.codes, lid, axis=0)
+        if self.bits == 4:
+            rows = _unpack4(rows)
+        s = jnp.take(self.scales, lid, axis=0)
+        b = jnp.take(self.biases, lid, axis=0)
+        live = (jnp.arange(self.padded_dim) < self.dim).astype(jnp.float32)
+        dec = (self.mean + b[..., None]
+               + s[..., None] * rows.astype(jnp.float32))
+        return dec * live
+
+    def get(self, ids: jax.Array) -> jax.Array:
+        lid, mine = self._local(ids)
+        rows = jnp.where(mine[..., None], self._decode_local(lid), 0.0)
+        return jax.lax.psum(rows, self.axis)
+
+    def get_f32(self, ids: jax.Array) -> jax.Array:
+        return self.get(ids)
+
+    def get_full(self, ids: jax.Array) -> jax.Array:
+        """Two-level reconstruction (psum) — mirrors LVQDataset.get_full."""
+        from ..quantization.lvq import _unpack4
+        lid, mine = self._local(ids)
+        dec = self._decode_local(lid)
+        if self.residual_bits:
+            rows = jnp.take(self.res_codes, lid, axis=0)
+            if self.residual_bits == 4:
+                rows = _unpack4(rows)
+            rs = jnp.take(self.res_scales, lid, axis=0)
+            live = (jnp.arange(self.padded_dim)
+                    < self.dim).astype(jnp.float32)
+            dec = dec + rs[..., None] * rows.astype(jnp.float32) * live
+        rows = jnp.where(mine[..., None], dec, 0.0)
+        return jax.lax.psum(rows, self.axis)
+
+    def norms_of(self, ids: jax.Array) -> jax.Array:
+        lid, mine = self._local(ids)
+        norms = jnp.where(mine, jnp.take(self.norms_sq, lid), 0.0)
+        return jax.lax.psum(norms, self.axis)
+
+    def score_keys(self, distance, queries, q_norms, ids) -> jax.Array:
+        """(B, K) ids -> (B, K) keys; local decode + score, pmin merge.
+
+        Norms are recomputed from the decoded rows (NOT the stored norm
+        cache) to match the single-chip greedy scoring path bit-for-bit
+        (index/vamana/search.py `score`)."""
+        lid, mine = self._local(ids)
+        vecs = self._decode_local(lid)
+        keys = dist_ops.gathered_keys(distance, queries, vecs,
+                                      query_norms_sq=q_norms)
+        in_range = mine & (ids < self.n)
+        keys = jnp.where(in_range, keys, jnp.inf)
+        return jax.lax.pmin(keys, self.axis)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["codes", "norms_sq", "code_sums", "scale", "bias"],
+         meta_fields=["axis", "n", "dim"])
+@dataclasses.dataclass
+class ShardedSQShard:
+    """Per-device block of SQ rows (codes sharded, global scale/bias
+    replicated); the scalar-quantization counterpart of
+    :class:`ShardedLVQShard` (reference scalar.h:364 under NUMA
+    partitioning)."""
+
+    codes: jax.Array        # (rows_per_shard, d_pad) int8/uint8/int16
+    norms_sq: jax.Array     # (rows_per_shard,) f32
+    code_sums: jax.Array    # (rows_per_shard,) f32
+    scale: jax.Array        # () f32 — replicated
+    bias: jax.Array         # () f32 — replicated
+    axis: str
+    n: int
+    dim: int
+
+    @property
+    def rows_per_shard(self) -> int:
+        return self.codes.shape[0]
+
+    @property
+    def padded_dim(self) -> int:
+        return self.codes.shape[1]
+
+    def _local(self, ids: jax.Array):
+        offset = jax.lax.axis_index(self.axis) * self.rows_per_shard
+        lid = ids - offset
+        mine = (ids >= 0) & (lid >= 0) & (lid < self.rows_per_shard)
+        return jnp.clip(lid, 0, self.rows_per_shard - 1), mine
+
+    def _decode_local(self, lid: jax.Array) -> jax.Array:
+        rows = jnp.take(self.codes, lid, axis=0).astype(jnp.float32)
+        live = (jnp.arange(self.padded_dim) < self.dim).astype(jnp.float32)
+        return (rows * self.scale + self.bias) * live
+
+    def get(self, ids: jax.Array) -> jax.Array:
+        lid, mine = self._local(ids)
+        rows = jnp.where(mine[..., None], self._decode_local(lid), 0.0)
+        return jax.lax.psum(rows, self.axis)
+
+    def get_f32(self, ids: jax.Array) -> jax.Array:
+        return self.get(ids)
+
+    def norms_of(self, ids: jax.Array) -> jax.Array:
+        lid, mine = self._local(ids)
+        norms = jnp.where(mine, jnp.take(self.norms_sq, lid), 0.0)
+        return jax.lax.psum(norms, self.axis)
+
+    def score_keys(self, distance, queries, q_norms, ids) -> jax.Array:
+        lid, mine = self._local(ids)
+        vecs = self._decode_local(lid)
+        keys = dist_ops.gathered_keys(distance, queries, vecs,
+                                      query_norms_sq=q_norms)
+        in_range = mine & (ids < self.n)
+        keys = jnp.where(in_range, keys, jnp.inf)
+        return jax.lax.pmin(keys, self.axis)
+
+
+def shard_lvq(lvq, mesh: Mesh, axis: str = "shard"):
+    """Lay an ``LVQDataset``'s rows across a mesh axis.  Returns (arrays
+    tuple, meta dict) for :class:`ShardedLVQShard`: codes/constants sharded
+    by row block, mean replicated."""
+    n_shards = mesh.shape[axis]
+    cap = dt.pad_to(-(-lvq.capacity // n_shards), 8) * n_shards
+    lvq = lvq.with_capacity(cap)
+    if lvq.capacity != cap:           # with_capacity pads to 32 internally
+        cap = lvq.capacity
+        if cap % n_shards:
+            raise ValueError(f"capacity {cap} not divisible by {n_shards}")
+    row = NamedSharding(mesh, P(axis, None))
+    vec = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    arrays = (jax.device_put(lvq.codes, row),
+              jax.device_put(lvq.scales, vec),
+              jax.device_put(lvq.biases, vec),
+              jax.device_put(lvq.mean, rep),
+              jax.device_put(lvq.norms_sq, vec),
+              jax.device_put(lvq.res_codes, row),
+              jax.device_put(lvq.res_scales, vec),
+              jax.device_put(lvq.full_norms_sq, vec))
+    meta = dict(axis=axis, n=lvq.n, dim=lvq.dim, bits=lvq.bits,
+                residual_bits=lvq.residual_bits)
+    specs = (P(axis, None), P(axis), P(axis), P(), P(axis), P(axis, None),
+             P(axis), P(axis))
+    return arrays, specs, meta
+
+
+def shard_sq(sq, mesh: Mesh, axis: str = "shard"):
+    """Lay an ``SQDataset``'s rows across a mesh axis (codes sharded,
+    global scale/bias replicated)."""
+    import numpy as np
+    n_shards = mesh.shape[axis]
+    cap = dt.pad_to(-(-sq.capacity // n_shards), 8) * n_shards
+    if cap > sq.capacity:
+        g = cap - sq.capacity
+        sq = dataclasses.replace(
+            sq,
+            codes=jnp.pad(sq.codes, ((0, g), (0, 0))),
+            norms_sq=jnp.pad(sq.norms_sq, (0, g),
+                             constant_values=np.inf),
+            code_sums=jnp.pad(sq.code_sums, (0, g)))
+    row = NamedSharding(mesh, P(axis, None))
+    vec = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    arrays = (jax.device_put(sq.codes, row),
+              jax.device_put(sq.norms_sq, vec),
+              jax.device_put(sq.code_sums, vec),
+              jax.device_put(sq.scale, rep),
+              jax.device_put(sq.bias, rep))
+    meta = dict(axis=axis, n=sq.n, dim=sq.dim)
+    specs = (P(axis, None), P(axis), P(axis), P(), P())
+    return arrays, specs, meta
+
+
 def _graph_shard_meta(graph: NeighborGraph, n_shards: int):
     rps = dt.pad_to(-(-graph.capacity // n_shards), 8)
     return rps, rps * n_shards
@@ -397,8 +617,30 @@ def shard_graph(graph: NeighborGraph, mesh: Mesh, axis: str = "shard"):
     return adjacency, degrees, meta
 
 
+def shard_any_dataset(data, mesh: Mesh, axis: str = "shard"):
+    """Shard any protocol dataset's rows across a mesh axis.
+
+    Returns ``(arrays, specs, make_view)`` where ``make_view(*local_blocks)``
+    builds the matching shard view inside a shard_map body.  Dispatches on
+    dataset kind: f32/bf16 -> :class:`ShardedDataShard`, LVQ ->
+    :class:`ShardedLVQShard`, SQ -> :class:`ShardedSQShard` (VERDICT r2 ask
+    4: compressed datasets get collective shard views too)."""
+    from ..quantization.lvq import LVQDataset
+    from ..quantization.scalar import SQDataset
+    if isinstance(data, LVQDataset):
+        arrays, specs, meta = shard_lvq(data, mesh, axis)
+        return arrays, specs, lambda *b: ShardedLVQShard(*b, **meta)
+    if isinstance(data, SQDataset):
+        arrays, specs, meta = shard_sq(data, mesh, axis)
+        return arrays, specs, lambda *b: ShardedSQShard(*b, **meta)
+    data_sh = shard_dataset(data, mesh, axis)
+    meta = dict(axis=axis, n=data.n, dim=data.dim)
+    return ((data_sh.vectors, data_sh.norms_sq), (P(axis, None), P(axis)),
+            lambda *b: ShardedDataShard(*b, **meta))
+
+
 def sharded_greedy_search(mesh: Mesh, graph: NeighborGraph,
-                          data: VectorDataset, queries, entry_ids, *,
+                          data, queries, entry_ids, *,
                           window: int, capacity: int, max_iters: int,
                           distance, pool_size: int = 0, pop_width: int = 4,
                           axis: str = "shard"):
@@ -406,15 +648,16 @@ def sharded_greedy_search(mesh: Mesh, graph: NeighborGraph,
 
     Bit-identical to the single-chip search: the per-iteration gathers
     become (local gather, pmax/pmin merge) pairs, the beam state stays
-    replicated.  Memory per device is O(n / n_shards)."""
+    replicated.  Memory per device is O(n / n_shards).  ``data`` may be a
+    plain ``VectorDataset`` or a compressed ``LVQDataset`` / ``SQDataset``
+    (codes sharded, decode local — see :func:`shard_any_dataset`)."""
     distance = dist_ops.as_distance(distance)
     adjacency, degrees, g_meta = shard_graph(graph, mesh, axis)
-    data_sh = shard_dataset(data, mesh, axis)
+    d_arrays, d_specs, make_view = shard_any_dataset(data, mesh, axis)
 
-    def local(adj, deg, vec, nrm, q, eids):
+    def local(adj, deg, q, eids, *blocks):
         gview = ShardedGraphShard(adj, deg, **g_meta)
-        dview = ShardedDataShard(vec, nrm, axis=axis, n=data.n,
-                                 dim=data.dim)
+        dview = make_view(*blocks)
         return search_mod.greedy_search(
             gview, dview, q, eids, window=window, capacity=capacity,
             max_iters=max_iters, distance=distance, pool_size=pool_size,
@@ -422,10 +665,9 @@ def sharded_greedy_search(mesh: Mesh, graph: NeighborGraph,
 
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(axis, None), P(axis), P(), P()),
+        in_specs=(P(axis, None), P(axis), P(), P(), *d_specs),
         out_specs=P(), check_vma=False)
-    return jax.jit(fn)(adjacency, degrees, data_sh.vectors,
-                       data_sh.norms_sq, queries, entry_ids)
+    return jax.jit(fn)(adjacency, degrees, queries, entry_ids, *d_arrays)
 
 
 def sharded_build_graph(mesh: Mesh, data, params, distance, *,

@@ -172,3 +172,170 @@ class TestShardedGraph:
                                       np.asarray(g_one.adjacency)[:n])
         np.testing.assert_array_equal(np.asarray(g_sh.degrees)[:n],
                                       np.asarray(g_one.degrees)[:n])
+
+
+class TestShardedCompressed:
+    """Compressed shard views (VERDICT r2 ask 4): LVQ / SQ codes sharded by
+    row block, decode local, (B, K) key panels pmin-merged — traversal must
+    be bit-identical to the single-chip compressed datasets."""
+
+    def _graph_queries(self, n, d, r, seed=7):
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=(n, d)).astype(np.float32)
+        adj = rng.integers(0, n, size=(n, r)).astype(np.int32)
+        queries = rng.normal(size=(16, d)).astype(np.float32)
+        return x, adj, queries
+
+    @pytest.mark.parametrize("bits,residual", [(8, 0), (4, 8)])
+    def test_lvq_search_bit_identical(self, eight_devices, bits, residual):
+        from scalablevectorsearch_tpu.quantization.lvq import LVQDataset
+        x, adj, queries = self._graph_queries(1200, 24, 10)
+        lvq = LVQDataset.compress(x, bits=bits, residual_bits=residual)
+        graph = NeighborGraph.from_array(
+            np.pad(adj, ((0, lvq.capacity - adj.shape[0]), (0, 0)),
+                   constant_values=-1))
+        q = jnp.asarray(pad_matrix(queries, d_pad=lvq.padded_dim))
+        eids = jnp.asarray([0], jnp.int32)
+        mesh = mesh_mod.make_mesh(8, axis_name="shard")
+        kw = dict(window=12, capacity=12, max_iters=32, distance="l2")
+        ref = greedy_search(graph, lvq, q, eids, **kw)
+        out = sharded.sharded_greedy_search(mesh, graph, lvq, q, eids, **kw)
+        np.testing.assert_array_equal(np.asarray(ref.ids),
+                                      np.asarray(out.ids))
+        fin = np.isfinite(np.asarray(ref.keys))
+        np.testing.assert_allclose(np.where(fin, np.asarray(out.keys), 0),
+                                   np.where(fin, np.asarray(ref.keys), 0),
+                                   rtol=1e-6)
+
+    def test_lvq_shard_view_get_matches(self, eight_devices):
+        """get / get_full / norms_of through the collective view equal the
+        single-chip decode exactly."""
+        from jax.sharding import PartitionSpec as P
+        from scalablevectorsearch_tpu.quantization.lvq import LVQDataset
+        x, _, _ = self._graph_queries(600, 20, 8)
+        lvq = LVQDataset.compress(x, bits=8, residual_bits=8)
+        mesh = mesh_mod.make_mesh(8, axis_name="shard")
+        arrays, specs, meta = sharded.shard_lvq(lvq, mesh)
+        ids = jnp.asarray([0, 5, 599, 300], jnp.int32)
+
+        def local(*blocks):
+            v = sharded.ShardedLVQShard(*blocks, **meta)
+            return v.get(ids), v.get_full(ids), v.norms_of(ids)
+
+        got, got_full, norms = jax.jit(jax.shard_map(
+            local, mesh=mesh, in_specs=specs,
+            out_specs=(P(), P(), P()), check_vma=False))(*arrays)
+        # rtol+atol: XLA may fuse the decode FMA differently inside
+        # shard_map (observed 1-ulp differences on ~1e-3 magnitudes)
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(lvq.get(ids)),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_full),
+                                   np.asarray(lvq.get_full(ids)),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(norms),
+                                   np.asarray(lvq.norms_of(ids)), rtol=1e-5)
+
+    def test_sq_search_bit_identical(self, eight_devices):
+        from scalablevectorsearch_tpu.quantization.scalar import SQDataset
+        x, adj, queries = self._graph_queries(1000, 24, 10, seed=9)
+        sq = SQDataset.compress(x)
+        graph = NeighborGraph.from_array(
+            np.pad(adj, ((0, sq.capacity - adj.shape[0]), (0, 0)),
+                   constant_values=-1))
+        q = jnp.asarray(pad_matrix(queries, d_pad=sq.padded_dim))
+        eids = jnp.asarray([0], jnp.int32)
+        mesh = mesh_mod.make_mesh(8, axis_name="shard")
+        kw = dict(window=12, capacity=12, max_iters=32, distance="l2")
+        ref = greedy_search(graph, sq, q, eids, **kw)
+        out = sharded.sharded_greedy_search(mesh, graph, sq, q, eids, **kw)
+        np.testing.assert_array_equal(np.asarray(ref.ids),
+                                      np.asarray(out.ids))
+
+
+class TestShardedDynamic:
+    """Sharded mutable Vamana (VERDICT r2 ask 4): the full
+    add/delete/consolidate/compact lifecycle over shard views, with
+    mutation parity against the single-chip index."""
+
+    def _params(self):
+        from scalablevectorsearch_tpu.index.vamana.params import (
+            VamanaBuildParameters)
+        return VamanaBuildParameters(
+            alpha=1.1, graph_max_degree=12, window_size=24,
+            max_candidate_pool_size=48, prune_to=10)
+
+    def test_mutation_parity_with_single_chip(self, eight_devices):
+        """Re-shard a single-chip index, apply identical mutations to both,
+        and require identical search results and adjacency."""
+        from scalablevectorsearch_tpu.index.vamana.dynamic import (
+            MutableVamanaIndex)
+        from scalablevectorsearch_tpu.parallel.dynamic import (
+            ShardedMutableVamanaIndex)
+        data, queries = svt.generate_test_dataset(800, 24, 24, seed=13)
+        mesh = mesh_mod.make_mesh(8, axis_name="shard")
+        ext = np.arange(700, dtype=np.int64)
+        sc = MutableVamanaIndex(self._params(), data[:700], ext, "l2")
+        sh = ShardedMutableVamanaIndex.from_single_chip(sc, mesh)
+
+        r_sc = sc.search(queries, 5)
+        r_sh = sh.search(queries, 5)
+        np.testing.assert_array_equal(r_sc.ids, r_sh.ids)
+
+        sc.add_points(data[700:800], np.arange(900, 1000))
+        sh.add_points(data[700:800], np.arange(900, 1000))
+        np.testing.assert_array_equal(
+            np.asarray(sc.graph.adjacency)[:800],
+            np.asarray(sh.adjacency)[:800])
+
+        sc.delete_points(np.arange(10, 60))
+        sh.delete_points(np.arange(10, 60))
+        sc.consolidate()
+        sh.consolidate()
+        np.testing.assert_array_equal(
+            np.asarray(sc.graph.adjacency)[:800],
+            np.asarray(sh.adjacency)[:800])
+        r_sc = sc.search(queries, 5)
+        r_sh = sh.search(queries, 5)
+        np.testing.assert_array_equal(r_sc.ids, r_sh.ids)
+
+    def test_lifecycle_from_scratch(self, eight_devices):
+        """Native sharded build + full mutation cycle, recall-gated."""
+        from scalablevectorsearch_tpu.parallel.dynamic import (
+            ShardedMutableVamanaIndex)
+        data, queries = svt.generate_test_dataset(900, 24, 24, seed=17)
+        mesh = mesh_mod.make_mesh(8, axis_name="shard")
+        idx = ShardedMutableVamanaIndex(
+            self._params(), data[:800], np.arange(800), "l2", mesh)
+        gt = svt.exhaustive_search(data[:800], queries, 5)
+        rec = svt.k_recall_at_n(gt, idx.search(queries, 5))
+        assert rec >= 0.85, rec
+
+        idx.add_points(data[800:900], np.arange(2000, 2100))
+        idx.delete_points(np.arange(0, 100))
+        idx.consolidate()
+        idx.compact()
+        assert idx.size == 800
+        # post-compact: all surviving ids still resolve and search works
+        live_ext = np.concatenate([np.arange(100, 800),
+                                   np.arange(2000, 2100)])
+        np.testing.assert_array_equal(idx.all_ids(), np.sort(live_ext))
+        live_rows = np.concatenate([data[100:800], data[800:900]])
+        gt2 = svt.exhaustive_search(live_rows, queries, 5)
+        gt2_ext = live_ext[gt2.ids]
+        res = idx.search(queries, 5)
+        overlap = np.mean([len(set(a) & set(b)) / 5
+                           for a, b in zip(gt2_ext, res.ids)])
+        assert overlap >= 0.80, overlap
+
+    def test_roundtrip_to_single_chip(self, eight_devices):
+        from scalablevectorsearch_tpu.parallel.dynamic import (
+            ShardedMutableVamanaIndex)
+        data, queries = svt.generate_test_dataset(400, 16, 16, seed=23)
+        mesh = mesh_mod.make_mesh(8, axis_name="shard")
+        idx = ShardedMutableVamanaIndex(
+            self._params(), data, np.arange(400), "l2", mesh)
+        single = idx.to_single_chip()
+        r_sh = idx.search(queries, 5)
+        r_sc = single.search(queries, 5)
+        np.testing.assert_array_equal(r_sh.ids, r_sc.ids)
