@@ -52,12 +52,19 @@ BASELINE_QPS = 10_000.0
 
 
 def _plugin_warmup(out):
-    """Absorb the axon plugin's one-time first-lowering cost on a tiny
-    program (runs on a background thread, overlapped with dataset gen)."""
-    import jax
-    import jax.numpy as jnp
+    """Absorb the one-time remote-compile cost on a TINY REAL build (runs
+    on a background thread, overlapped with dataset gen).
+
+    A trivial matmul does NOT absorb it (measured: 1.3 s warm-up, then the
+    100k build still paid ~765 s of first-lowering) — the cost attaches to
+    the first substantial lowering in the process, so the warm-up must BE a
+    build, at throwaway shapes."""
     t0 = time.time()
-    jax.block_until_ready(jax.jit(lambda x: x @ x)(jnp.ones((128, 128))))
+    data, _ = svt.generate_test_dataset(2048, 8, 32, seed=1)
+    params = VamanaBuildParameters(alpha=1.2, graph_max_degree=16,
+                                   window_size=32,
+                                   max_candidate_pool_size=64, prune_to=14)
+    svt.VamanaIndex.build(params, data, "l2")
     out["warmup_s"] = time.time() - t0
 
 
@@ -72,7 +79,7 @@ def _build_and_serve(data, queries, k, alpha, windows, label):
         index.query_batch_size = int(os.environ["SVT_BENCH_QB"])
     build_s = time.time() - t0
     print(f"# {label} build: {build_s:.1f}s "
-          f"mean_degree={index.graph.mean_degree():.1f}", file=sys.stderr)
+          f"mean_degree={index.graph.mean_degree():.1f}", file=sys.stderr, flush=True)
 
     if os.environ.get("SVT_BENCH_PACKED", "1") != "0":
         # packed-neighborhood serving: r-fold fewer HBM row gathers/iter
@@ -80,7 +87,7 @@ def _build_and_serve(data, queries, k, alpha, windows, label):
         t0 = time.time()
         index.enable_packed_serving()
         print(f"# packed neighborhoods: {time.time() - t0:.1f}s",
-              file=sys.stderr)
+              file=sys.stderr, flush=True)
 
     gt = svt.exhaustive_search(data, queries, k)
     nq = len(queries)
@@ -100,7 +107,7 @@ def _build_and_serve(data, queries, k, alpha, windows, label):
                 index.search(queries, k)
             qps = max(qps, nq * reps / (time.time() - t0))
         print(f"# {label} window={window} recall@10={recall:.4f} "
-              f"qps={qps:.0f}", file=sys.stderr)
+              f"qps={qps:.0f}", file=sys.stderr, flush=True)
         if recall >= 0.9:
             best = (window, recall, qps)
             break
@@ -109,11 +116,17 @@ def _build_and_serve(data, queries, k, alpha, windows, label):
     window, recall, qps = best
 
     # per-batch dispatch latency distribution at the operating point
-    # (tail latency is first-class — reference search.h:80,209-218)
-    qb = index.query_batch_size
+    # (tail latency is first-class — reference search.h:80,209-218).
+    # Equal-size batches only, warmed once: a ragged tail batch would be a
+    # fresh static shape and its sample would time a remote compile, not a
+    # dispatch.
+    qb = min(index.query_batch_size, nq)
+    index.search(queries[:qb], k)            # warm this exact shape
     lat = []
-    for i in range(min(-(-nq // qb), 16)):
+    for i in range(min(nq // qb, 16) or 1):
         batch = queries[i * qb: (i + 1) * qb]
+        if len(batch) < qb:
+            break
         t1 = time.time()
         index.search(batch, k)
         lat.append((time.time() - t1) * 1e6)
@@ -142,7 +155,7 @@ def main():
     data, queries = svt.generate_test_dataset(n, nq, dim, seed=42)
     warm_thread.join()
     print(f"# plugin warm-up (one-time, overlapped with datagen): "
-          f"{warm.get('warmup_s', 0):.1f}s", file=sys.stderr)
+          f"{warm.get('warmup_s', 0):.1f}s", file=sys.stderr, flush=True)
 
     head = _build_and_serve(data, queries, k, alpha,
                             (10, 16, 20, 24, 26, 28, 32, 48, 64, 96, 128),

@@ -262,21 +262,22 @@ class MutableVamanaIndex:
         packed = self._ensure_packed()
         out_ids = np.empty((nq, k), dtype=np.int64)
         out_vals = np.empty((nq, k), dtype=np.float32)
-        # one padded upload for all batches; per batch, one fused dispatch
-        # (slice + search + deleted-drop + key conversion); all device->host
-        # copies start before the first blocking read — each blocking
-        # transfer costs a tunnel round trip (see index.py search)
+        # one host-side pad, then per-batch ASYNC uploads (batch i+1's
+        # transfer overlaps batch i's compute); per batch, one fused
+        # dispatch (search + deleted-drop + key conversion); all
+        # device->host copies start before the first blocking read — each
+        # blocking transfer costs a tunnel round trip (see index.py search)
         q_host = dt.pad_matrix(queries.astype(np.float32),
                                n_pad=plan.rows * plan.n_batches,
                                d_pad=self.data.padded_dim)
-        q_all = jnp.asarray(q_host)
         pending = []
         for i in range(plan.n_batches):
             check_cancel(cancel)
+            q_i = jnp.asarray(q_host[i * plan.rows:(i + 1) * plan.rows])
             ids, vals = _dyn_search_batch(
-                self.graph, self.data, packed, self.deleted_mask, q_all,
-                jnp.int32(i * plan.rows), entry_ids,
-                rows=plan.rows, k=k, window=window, capacity=capacity,
+                self.graph, self.data, packed, self.deleted_mask, q_i,
+                entry_ids,
+                k=k, window=window, capacity=capacity,
                 max_iters=max_iters, distance=self.distance,
                 pop_width=self.pop_width, tail_frac=self.tail_frac,
                 visited_size=visited_size)
@@ -555,17 +556,17 @@ def _drop_deleted(keys: jax.Array, ids: jax.Array, deleted_mask: jax.Array,
 
 
 @partial(jax.jit, static_argnames=(
-    "rows", "k", "window", "capacity", "max_iters", "distance", "pop_width",
+    "k", "window", "capacity", "max_iters", "distance", "pop_width",
     "tail_frac", "visited_size"))
-def _dyn_search_batch(graph, data, packed, deleted_mask, q_all, start,
-                      entry_ids, *, rows: int, k: int, window: int,
+def _dyn_search_batch(graph, data, packed, deleted_mask, q,
+                      entry_ids, *, k: int, window: int,
                       capacity: int, max_iters: int, distance,
                       pop_width: int, tail_frac: int, visited_size: int):
-    """One fused serving dispatch for the dynamic index: device-side query
-    slice + beam search + deleted-slot drop + key->distance conversion
-    (mirrors index.py `_search_batch`; the predicated extraction is the
-    reference's dynamic_search_buffer.h semantics)."""
-    q = jax.lax.dynamic_slice_in_dim(q_all, start, rows, axis=0)
+    """One fused serving dispatch for the dynamic index: beam search +
+    deleted-slot drop + key->distance conversion on one equal-shape,
+    asynchronously-uploaded query batch (mirrors index.py `_search_batch`;
+    the predicated extraction is the reference's dynamic_search_buffer.h
+    semantics)."""
     out = search_mod.greedy_search(
         graph, data, q, entry_ids,
         window=window, capacity=capacity, max_iters=max_iters,

@@ -61,19 +61,20 @@ class _BatchPlan:
 
 
 @partial(jax.jit, static_argnames=(
-    "rows", "k", "window", "capacity", "max_iters", "distance",
+    "k", "window", "capacity", "max_iters", "distance",
     "tail_frac", "visited_size", "two_level"))
-def _search_batch(graph, data, packed, rerank_view, q_all, start, entry_ids,
-                  *, rows: int, k: int, window: int, capacity: int,
+def _search_batch(graph, data, packed, rerank_view, q, entry_ids,
+                  *, k: int, window: int, capacity: int,
                   max_iters: int, distance, tail_frac: int,
                   visited_size: int, two_level: bool):
-    """One fully-fused serving dispatch: slice the pre-uploaded query block,
-    run the beam search, (optionally) rerank two-level datasets, and convert
-    keys to public distances — the host does nothing between dispatches but
-    enqueue (the reference's zero-overhead batch partition, index.h:556-603).
-    """
+    """One fully-fused serving dispatch: beam search + (optional) two-level
+    rerank + key->distance conversion — the host does nothing between
+    dispatches but enqueue (the reference's zero-overhead batch partition,
+    index.h:556-603).  ``q`` is one equal-shape batch whose upload was
+    started asynchronously by the caller, so batch i+1's host->device
+    transfer rides the tunnel while batch i computes (the transfer overlap
+    that took round-2 serving 16k -> 41k QPS)."""
     from ...index.ivf.index import rerank_kernel
-    q = jax.lax.dynamic_slice_in_dim(q_all, start, rows, axis=0)
     out = search_mod.greedy_search(
         graph, data, q, entry_ids,
         window=window, capacity=capacity, max_iters=max_iters,
@@ -279,23 +280,23 @@ class VamanaIndex:
         out_ids = np.empty((nq, k), dtype=np.int64)
         out_vals = np.empty((nq, k), dtype=np.float32)
         rerank_view = self.data.full_view() if two_level else None
-        # ONE padded host->device transfer for the whole query set; each
-        # batch then dispatches a single fused executable (device-side
-        # slice + search + key conversion) — the host does nothing between
-        # dispatches but enqueue, and batches pipeline through the device
-        # queue (the batch-parallel analog of the reference's per-thread
-        # query partitions, index.h:556-603).
+        # ONE host-side pad of the whole query set, then per-batch ASYNC
+        # uploads: batch i+1's transfer rides the tunnel while batch i
+        # computes, and every equal-shape batch dispatches the same fused
+        # executable (device-side search + key conversion) — the host does
+        # nothing between dispatches but enqueue (the batch-parallel analog
+        # of the reference's per-thread query partitions, index.h:556-603).
         q_host = dt.pad_matrix(queries.astype(np.float32),
                                n_pad=plan.rows * plan.n_batches,
                                d_pad=self.data.padded_dim)
-        q_all = jnp.asarray(q_host)
         pending = []
         for i in range(plan.n_batches):
             check_cancel(cancel)
+            q_i = jnp.asarray(q_host[i * plan.rows:(i + 1) * plan.rows])
             ids_k, vals_k = _search_batch(
-                self.graph, self.data, self._packed, rerank_view, q_all,
-                jnp.int32(i * plan.rows), entry_ids,
-                rows=plan.rows, k=k, window=window, capacity=capacity,
+                self.graph, self.data, self._packed, rerank_view, q_i,
+                entry_ids,
+                k=k, window=window, capacity=capacity,
                 max_iters=max_iters, distance=self.distance,
                 tail_frac=self.tail_frac, visited_size=visited_size,
                 two_level=two_level)
