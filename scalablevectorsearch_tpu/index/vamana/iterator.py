@@ -95,15 +95,23 @@ class BatchIterator:
         self._exhausted = False
 
     def next(self, batch_size: Optional[int] = None) -> QueryResult:
-        """Yield the next batch of neighbors, nearest-first, no repeats."""
+        """Yield the next batch of neighbors, nearest-first, no repeats.
+
+        The beam stays at the SCHEDULE's (window, capacity) — bounded, like
+        the reference's buffer (iterator_schedule.h:80) — while already-
+        yielded coverage comes from the search's candidate POOL (the running
+        top-``pool_size`` of every scored candidate, a superset of any
+        beam's retention).  Deep pages therefore pay a bounded traversal
+        plus an O(pool) device merge instead of re-walking with an
+        O(pages * m) beam; pool sizes are quantized to powers of two so
+        paging reuses executables instead of compiling one per page."""
         m = batch_size or self._batch_size
         index = self._index
         window, capacity = self._schedule.for_iteration(self._iteration)
-        # the beam must retain enough candidates to cover everything already
-        # yielded plus a fresh batch
+        capacity = max(capacity, window)
         need = len(self._yielded) + m
-        capacity = max(capacity, window, need)
-        window = max(window, min(need, capacity))
+        pool = 1 << int(np.ceil(np.log2(max(need + window, 64))))
+        pool = min(pool, int(index.size) + capacity)
 
         batch = dt.pad_matrix(self._query, n_pad=8,
                               d_pad=index.data.padded_dim)
@@ -112,17 +120,21 @@ class BatchIterator:
             jnp.asarray([index.entry_point], dtype=jnp.int32),
             window=window, capacity=capacity,
             max_iters=search_mod.default_max_iters(window),
-            distance=index.distance)
-        ids = np.asarray(out.ids[0])
-        keys = np.asarray(out.keys[0])
+            distance=index.distance, pool_size=pool)
+        ids = np.asarray(out.pool_ids[0])
+        keys = np.asarray(out.pool_keys[0])
 
+        # dynamic indexes: deleted slots stay traversable until
+        # consolidation but must never be yielded (host-side status check —
+        # the predicated-buffer analog, dynamic_search_buffer.h)
+        status = getattr(index, "status", None)
         fresh_ids = []
         fresh_keys = []
         for i, key in zip(ids, keys):
             if i < 0 or int(i) in self._yielded:
                 continue
-            if hasattr(index, "deleted_mask"):
-                pass  # dynamic indexes filter below via translator
+            if status is not None and status[int(i)] != 1:  # SLOT_VALID
+                continue
             fresh_ids.append(int(i))
             fresh_keys.append(float(key))
             if len(fresh_ids) == m:

@@ -210,3 +210,43 @@ class TestMultiVector:
         b = loaded.search(queries[:8], 5)
         np.testing.assert_array_equal(a.ids, b.ids)
         np.testing.assert_allclose(a.distances, b.distances, rtol=1e-6)
+
+
+class TestBatchIteratorDeepPaging:
+    def test_deep_paging_covers_exact_prefix(self, small_dataset):
+        """Paging far into the dataset must enumerate (nearly) the exact
+        nearest-neighbor prefix with no repeats — the bounded-beam + pool
+        formulation must not lose candidates as pages deepen."""
+        data, queries = small_dataset
+        n = 500
+        params = VamanaBuildParameters(graph_max_degree=24, window_size=48,
+                                       max_candidate_pool_size=64,
+                                       prune_to=20)
+        index = svt.VamanaIndex.build(params, data[:n], "l2")
+        gt = svt.exhaustive_search(data[:n], queries[:1], 200)
+        it = BatchIterator(index, queries[0], batch_size=20)
+        got = []
+        for _ in range(10):                     # 200 deep
+            res = it.next()
+            ids = res.ids[0]
+            ids = ids[ids >= 0].tolist()
+            assert len(set(ids) & set(got)) == 0
+            got.extend(ids)
+        assert len(got) == 200
+        # graph traversal is approximate; require high overlap with the
+        # exact 200-prefix
+        overlap = len(set(got) & set(gt.ids[0].tolist())) / 200
+        assert overlap >= 0.95, overlap
+
+    def test_deleted_entries_never_yielded(self, small_dataset):
+        data, queries = small_dataset
+        n = 300
+        params = VamanaBuildParameters(graph_max_degree=16, window_size=32)
+        index = svt.MutableVamanaIndex(params, data[:n], np.arange(n), "l2")
+        doomed = set(np.asarray(
+            svt.exhaustive_search(data[:n], queries[:1], 5).ids[0]).tolist())
+        index.delete_points(np.array(sorted(doomed)))
+        it = BatchIterator(index, queries[0], batch_size=10)
+        for _ in range(3):
+            ids = it.next().ids[0]
+            assert not (set(ids[ids >= 0].tolist()) & doomed)
