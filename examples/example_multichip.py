@@ -61,6 +61,38 @@ def main():
                                np.asarray(out.ids)[: len(queries), :10])
     print(f"query-parallel vamana recall@10: {recall:.4f}")
 
+    # --- sharded-graph Vamana over LVQ codes (memory-scaling config) -------
+    # graph rows AND compressed codes sharded across the mesh; decode is
+    # local, only (B, K) key panels cross the interconnect
+    from scalablevectorsearch_tpu.quantization.lvq import LVQDataset
+    lvq = LVQDataset.compress(data, bits=8)
+    out = sharded.sharded_greedy_search(
+        mesh, v.graph, lvq, q, jnp.asarray([v.entry_point], jnp.int32),
+        window=40, capacity=40, max_iters=100, distance=svt.L2)
+    recall = svt.k_recall_at_n(gt.ids,
+                               np.asarray(out.ids)[: len(queries), :10])
+    print(f"sharded-graph vamana over sharded LVQ8 recall@10: {recall:.4f}")
+
+    # --- sharded DYNAMIC Vamana: mutations over shard views ----------------
+    from scalablevectorsearch_tpu.parallel.dynamic import (
+        ShardedMutableVamanaIndex)
+    m = 4_000
+    dyn = ShardedMutableVamanaIndex(
+        vparams, data[:m], np.arange(m), svt.L2, mesh)
+    dyn.add_points(data[m:m + 500], np.arange(100_000, 100_500))
+    dyn.delete_points(np.arange(0, 250))
+    dyn.consolidate()
+    dyn.compact()
+    res = dyn.search(queries, 10)
+    live = np.concatenate([data[250:m], data[m:m + 500]])
+    live_ext = np.concatenate([np.arange(250, m),
+                               np.arange(100_000, 100_500)])
+    gt_live = svt.exhaustive_search(live, queries, 10)
+    hits = np.mean([len(set(live_ext[g]) & set(r)) / 10
+                    for g, r in zip(gt_live.ids, res.ids)])
+    print(f"sharded dynamic vamana (after add/delete/consolidate/compact) "
+          f"recall@10: {hits:.4f}")
+
 
 if __name__ == "__main__":
     main()
