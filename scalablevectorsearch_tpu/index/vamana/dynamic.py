@@ -270,6 +270,8 @@ class MutableVamanaIndex:
         q_host = dt.pad_matrix(queries.astype(np.float32),
                                n_pad=plan.rows * plan.n_batches,
                                d_pad=self.data.padded_dim)
+        from .index import query_upload_dtype
+        q_host = q_host.astype(query_upload_dtype(), copy=False)
         pending = []
         for i in range(plan.n_batches):
             check_cancel(cancel)
@@ -567,6 +569,7 @@ def _dyn_search_batch(graph, data, packed, deleted_mask, q,
     asynchronously-uploaded query batch (mirrors index.py `_search_batch`;
     the predicated extraction is the reference's dynamic_search_buffer.h
     semantics)."""
+    q = q.astype(jnp.float32)
     out = search_mod.greedy_search(
         graph, data, q, entry_ids,
         window=window, capacity=capacity, max_iters=max_iters,

@@ -60,6 +60,22 @@ class _BatchPlan:
         return cls(rows=rows, n_batches=nb)
 
 
+def query_upload_dtype():
+    """Host->device query transfer dtype (default float16).
+
+    The serving tunnel's in-context upload bandwidth is the dominant e2e
+    cost beyond device compute (PERF.md round-3 serving decomposition:
+    f32 uploads 52.6k QPS, half-width 65.0k, device ceiling 76.9k at
+    100k/w24).  Queries are cast back to f32 on device before scoring, so
+    the only effect is ~1e-3 relative rounding of the query values —
+    measured recall impact at the bench operating point is below the
+    run-to-run jitter.  Set ``SVT_QUERY_UPLOAD_DTYPE=float32`` to restore
+    full-precision uploads (or ``bfloat16`` for range over mantissa)."""
+    name = os.environ.get("SVT_QUERY_UPLOAD_DTYPE", "float16")
+    return {"float32": np.dtype(np.float32), "float16": np.dtype(np.float16),
+            "bfloat16": np.dtype(jnp.bfloat16)}[name]
+
+
 @partial(jax.jit, static_argnames=(
     "k", "window", "capacity", "max_iters", "distance",
     "tail_frac", "visited_size", "two_level"))
@@ -73,8 +89,10 @@ def _search_batch(graph, data, packed, rerank_view, q, entry_ids,
     index.h:556-603).  ``q`` is one equal-shape batch whose upload was
     started asynchronously by the caller, so batch i+1's host->device
     transfer rides the tunnel while batch i computes (the transfer overlap
-    that took round-2 serving 16k -> 41k QPS)."""
+    that took round-2 serving 16k -> 41k QPS); it may arrive in a
+    half-width dtype (``query_upload_dtype``) and is cast to f32 here."""
     from ...index.ivf.index import rerank_kernel
+    q = q.astype(jnp.float32)
     out = search_mod.greedy_search(
         graph, data, q, entry_ids,
         window=window, capacity=capacity, max_iters=max_iters,
@@ -289,6 +307,9 @@ class VamanaIndex:
         q_host = dt.pad_matrix(queries.astype(np.float32),
                                n_pad=plan.rows * plan.n_batches,
                                d_pad=self.data.padded_dim)
+        # half-width transfers halve the dominant tunnel cost; the cast
+        # back to f32 happens inside the fused dispatch
+        q_host = q_host.astype(query_upload_dtype(), copy=False)
         pending = []
         for i in range(plan.n_batches):
             check_cancel(cancel)

@@ -281,13 +281,18 @@ class ShardedMutableVamanaIndex:
         if dim != self.dim:
             raise ValueError(f"query dim {dim} != dataset dim {self.dim}")
         rows = dt.pad_to(nq, 8)
-        q = jnp.asarray(dt.pad_matrix(queries.astype(np.float32),
-                                      n_pad=rows, d_pad=self.padded_dim))
+        from ..index.vamana.index import query_upload_dtype
+        q_host = dt.pad_matrix(queries.astype(np.float32),
+                               n_pad=rows, d_pad=self.padded_dim)
+        # same upload rounding as the single-chip index so results stay
+        # bit-identical across the two paths (parity tests rely on it)
+        q = jnp.asarray(q_host.astype(query_upload_dtype(), copy=False))
         axis = self.axis
         g_meta, d_meta = self._views_meta()
 
         def builder():
             def local(adj, deg, vec, nrm, q, eids, deleted):
+                q = q.astype(jnp.float32)   # pre-greedy cast, as single-chip
                 gview = sharded.ShardedGraphShard(adj, deg, **g_meta)
                 dview = sharded.ShardedDataShard(vec, nrm, **d_meta)
                 out = search_mod.greedy_search(
