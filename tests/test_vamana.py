@@ -373,3 +373,39 @@ class TestReferenceInterop:
         # the shipped ivf_clustering dir is a full svs_config.toml object
         t2 = svs_interop.load_config(os.path.join(path, "ivf_clustering"))
         assert t2["centroids"]["__schema__"] == "uncompressed_data"
+
+
+class TestServingDispatch:
+    def test_batch_plan_equalizes(self):
+        from scalablevectorsearch_tpu.index.vamana.index import _BatchPlan
+        p = _BatchPlan.plan(5000, 2048)
+        assert p.n_batches == 3 and p.rows == 1672      # not 2048+2048+904
+        assert p.rows * p.n_batches >= 5000
+        p = _BatchPlan.plan(1, 2048)
+        assert p.n_batches == 1 and p.rows == 8
+        p = _BatchPlan.plan(2048, 2048)
+        assert p.n_batches == 1 and p.rows == 2048
+        p = _BatchPlan.plan(2049, 2048)
+        assert p.n_batches == 2 and p.rows % 8 == 0
+        assert p.rows * p.n_batches >= 2049
+
+    def test_query_upload_dtype_knob(self, small_dataset, monkeypatch):
+        """float16 is the default transfer dtype; float32 restores exact
+        full-precision uploads; both must stay above the recall gate."""
+        import scalablevectorsearch_tpu as svt
+        from scalablevectorsearch_tpu.index.vamana.index import (
+            query_upload_dtype)
+        data, queries = small_dataset
+        assert query_upload_dtype() == np.float16
+        monkeypatch.setenv("SVT_QUERY_UPLOAD_DTYPE", "float32")
+        assert query_upload_dtype() == np.float32
+
+        params = VamanaBuildParameters(graph_max_degree=16, window_size=32)
+        index = svt.VamanaIndex.build(params, data[:400], "l2")
+        gt = svt.exhaustive_search(data[:400], queries[:64], 5)
+        r32 = index.search(queries[:64], 5)
+        monkeypatch.delenv("SVT_QUERY_UPLOAD_DTYPE")
+        r16 = index.search(queries[:64], 5)
+        rec32 = svt.k_recall_at_n(gt, r32)
+        rec16 = svt.k_recall_at_n(gt, r16)
+        assert rec32 >= 0.85 and rec16 >= rec32 - 0.02, (rec32, rec16)
