@@ -87,19 +87,27 @@ def _groundtruth(data, queries, k, distance):
 
 
 def _measure_qps(search_fn, queries, k, repeats: int = 3,
-                 latency_batch: int = 512, max_latency_batches: int = 32):
+                 latency_batch: int = 512, max_latency_batches: int = 32,
+                 async_fn=None):
     """Throughput + latency distribution.
 
     Throughput is measured over the full pipelined query set (steady-state
-    QPS).  Latency is a separate pass timing individual batch dispatches,
-    keeping the full per-batch latency vector like the reference
+    QPS); when the index exposes ``search_async`` pass it as ``async_fn``
+    and whole search calls pipeline too (the TPU analog of the reference's
+    threadpool-saturated QPS measurement).  Latency is a separate pass
+    timing individual batch dispatches, keeping the full per-batch latency
+    vector like the reference
     (benchmark/include/svs-benchmark/search.h:80,209-218) and reporting
     p50/p95/p99 — tail latency is a first-class serving metric the mean
     cannot see."""
-    search_fn(queries, k)  # warm the compile cache
+    res = search_fn(queries, k)  # warm the compile cache
     t0 = time.time()
-    for _ in range(repeats):
-        res = search_fn(queries, k)
+    if async_fn is not None:
+        for h in [async_fn(queries, k) for _ in range(repeats)]:
+            h.result()
+    else:
+        for _ in range(repeats):
+            res = search_fn(queries, k)
     dt = (time.time() - t0) / repeats
     lat = []
     nb = max(1, min(-(-len(queries) // latency_batch), max_latency_batches))
@@ -171,7 +179,8 @@ def vamana_search(job: dict) -> dict:
     configs = []
     for window in job.get("search_window_sizes", [2 * k, 4 * k, 8 * k]):
         index.search_window_size = window
-        res, qps, lat_us, pct = _measure_qps(index.search, queries, k)
+        res, qps, lat_us, pct = _measure_qps(index.search, queries, k,
+                                             async_fn=index.search_async)
         configs.append({
             "search_window_size": window,
             "recall": round(k_recall_at_n(gt, res), 5),
@@ -182,7 +191,8 @@ def vamana_search(job: dict) -> dict:
     targets = []
     for target in job.get("target_recalls", []):
         params = calibrate(index, queries, gt.ids[:, :k], k, target)
-        res, qps, lat_us, pct = _measure_qps(index.search, queries, k)
+        res, qps, lat_us, pct = _measure_qps(index.search, queries, k,
+                                             async_fn=index.search_async)
         targets.append({"latency": pct,
             "target_recall": target,
             "search_window_size":

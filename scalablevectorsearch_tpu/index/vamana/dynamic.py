@@ -239,6 +239,15 @@ class MutableVamanaIndex:
         """``cancel``: optional zero-arg predicate checked between query
         batch dispatches (reference cancel hooks,
         tests/integration/cancel.cpp)."""
+        return self.search_async(queries, k, parameters=parameters,
+                                 cancel=cancel).result()
+
+    def search_async(self, queries, k: int,
+                     parameters: Optional[VamanaSearchParameters] = None,
+                     cancel=None):
+        """Dispatch-only search returning a PendingSearch (see
+        index.py ``VamanaIndex.search_async``): overlap the next call's
+        host-side pad/upload with this call's device compute."""
         from ...lib.exceptions import check_cancel
         params = parameters or self._search_parameters
         cfg = params.buffer_config
@@ -287,13 +296,12 @@ class MutableVamanaIndex:
         for _start, ids, vals in pending:
             ids.copy_to_host_async()
             vals.copy_to_host_async()
-        for start, ids, vals in pending:
-            stop = min(start + plan.rows, nq)
-            slots = np.asarray(ids)[: stop - start]
-            out_ids[start:stop] = np.where(
-                slots >= 0, self.translator.to_external(slots), -1)
-            out_vals[start:stop] = np.asarray(vals)[: stop - start]
-        return QueryResult(ids=out_ids, distances=out_vals)
+        from .index import PendingSearch
+        translate = lambda slots: np.where(
+            slots >= 0, self.translator.to_external(slots), -1)
+        return PendingSearch(pending=pending, rows=plan.rows, nq=nq,
+                             out_ids=out_ids, out_vals=out_vals,
+                             translate_ids=translate)
 
     # -- mutation ------------------------------------------------------------------
     def add_points(self, points, external_ids) -> np.ndarray:

@@ -60,6 +60,35 @@ class _BatchPlan:
         return cls(rows=rows, n_batches=nb)
 
 
+@dataclasses.dataclass
+class PendingSearch:
+    """In-flight batch search: device work dispatched, results not yet read.
+
+    The TPU serving analog of the reference's concurrent per-thread searches
+    (index.h:556-603): hold several of these to pipeline the host-side query
+    upload of one search with the device compute of another; ``result()``
+    blocks only on the final device->host reads (whose async copies were
+    already started at dispatch time)."""
+
+    pending: list
+    rows: int
+    nq: int
+    out_ids: np.ndarray
+    out_vals: np.ndarray
+    translate_ids: Optional[object] = None  # host slot->external id hook
+
+    def result(self) -> QueryResult:
+        for start, ids_k, vals_k in self.pending:
+            stop = min(start + self.rows, self.nq)
+            slots = np.asarray(ids_k)[: stop - start]
+            if self.translate_ids is not None:
+                slots = self.translate_ids(slots)
+            self.out_ids[start:stop] = slots
+            self.out_vals[start:stop] = np.asarray(vals_k)[: stop - start]
+        self.pending = []
+        return QueryResult(ids=self.out_ids, distances=self.out_vals)
+
+
 def query_upload_dtype():
     """Host->device query transfer dtype (default float16).
 
@@ -267,6 +296,20 @@ class VamanaIndex:
         ``cancel``: optional zero-arg predicate checked between query-batch
         dispatches (reference cancellation hooks, index.h:504-518); raises
         lib.exceptions.SearchCancelled when it fires."""
+        return self.search_async(queries, k, parameters=parameters,
+                                 cancel=cancel).result()
+
+    def search_async(self, queries, k: int,
+                     parameters: Optional[VamanaSearchParameters] = None,
+                     cancel=None) -> "PendingSearch":
+        """Dispatch a batch search and return a :class:`PendingSearch`.
+
+        The reference saturates serving throughput with a threadpool of
+        concurrent searches (index.h:556-603); the lockstep analog is
+        overlapping the host work (query pad + upload) of search call N+1
+        with the device compute of call N.  All device work and async
+        device->host copies are started before this returns; ``.result()``
+        performs only the blocking reads."""
         from ...lib.exceptions import check_cancel
         params = parameters or self._search_parameters
         cfg = params.buffer_config
@@ -327,11 +370,8 @@ class VamanaIndex:
         for _start, ids_k, vals_k in pending:
             ids_k.copy_to_host_async()
             vals_k.copy_to_host_async()
-        for start, ids_k, vals_k in pending:
-            stop = min(start + plan.rows, nq)
-            out_ids[start:stop] = np.asarray(ids_k)[: stop - start]
-            out_vals[start:stop] = np.asarray(vals_k)[: stop - start]
-        return QueryResult(ids=out_ids, distances=out_vals)
+        return PendingSearch(pending=pending, rows=plan.rows, nq=nq,
+                             out_ids=out_ids, out_vals=out_vals)
 
     # -- reconstruction -----------------------------------------------------------
     def reconstruct_at(self, ids) -> np.ndarray:

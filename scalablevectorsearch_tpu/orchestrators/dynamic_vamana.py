@@ -32,6 +32,10 @@ class DynamicVamana:
     def search(self, queries, n_neighbors: int) -> QueryResult:
         return self._index.search(queries, n_neighbors)
 
+    def search_async(self, queries, n_neighbors: int):
+        """Dispatch-only search (see VamanaIndex.search_async)."""
+        return self._index.search_async(queries, n_neighbors)
+
     # -- mutation ----------------------------------------------------------
     def add_points(self, points, external_ids) -> None:
         """(reference dynamic_vamana.h:72-80)"""

@@ -49,6 +49,11 @@ class Vamana:
     def search(self, queries, n_neighbors: int) -> QueryResult:
         return self._index.search(queries, n_neighbors)
 
+    def search_async(self, queries, n_neighbors: int):
+        """Dispatch-only search; pipeline several calls and collect with
+        ``.result()`` (see VamanaIndex.search_async)."""
+        return self._index.search_async(queries, n_neighbors)
+
     # -- parameter surface ------------------------------------------------------
     @property
     def search_window_size(self) -> int:

@@ -90,6 +90,14 @@ class TestMutableVamana:
             ref.check_recall(index, queries, 10, floor=0.75)
         assert index.size == len(ref.live)
 
+    def test_search_async_matches_search(self, built):
+        index, _ref, queries = built
+        ref_out = index.search(queries[:50], 10)
+        handles = [index.search_async(queries[:50], 10) for _ in range(2)]
+        for h in handles:
+            out = h.result()
+            np.testing.assert_array_equal(out.ids, ref_out.ids)
+
     def test_compact_then_search(self, built):
         index, ref, queries = built
         index.compact()

@@ -409,3 +409,16 @@ class TestServingDispatch:
         rec32 = svt.k_recall_at_n(gt, r32)
         rec16 = svt.k_recall_at_n(gt, r16)
         assert rec32 >= 0.85 and rec16 >= rec32 - 0.02, (rec32, rec16)
+
+    def test_search_async_matches_search(self, built_index, small_dataset):
+        """Pipelined serving: in-flight PendingSearch results are identical
+        to blocking search(); several overlapping calls don't interfere."""
+        _data, queries = small_dataset
+        ref = built_index.search(queries[:100], 10)
+        handles = [built_index.search_async(queries[:100], 10)
+                   for _ in range(3)]
+        for h in handles:
+            out = h.result()
+            np.testing.assert_array_equal(out.ids, ref.ids)
+            np.testing.assert_allclose(out.distances, ref.distances,
+                                       rtol=1e-6)
