@@ -109,10 +109,18 @@ def _measure_qps(search_fn, queries, k, repeats: int = 3,
         for _ in range(repeats):
             res = search_fn(queries, k)
     dt = (time.time() - t0) / repeats
+    # equal-size warmed batches only: a fresh batch shape (the first
+    # latency_batch-row dispatch, or a ragged tail) would compile a new
+    # executable through the remote compile service and the sample would
+    # time a compile, not a dispatch (bench.py applies the same guard)
+    latency_batch = min(latency_batch, len(queries))
+    search_fn(queries[:latency_batch], k)      # warm this exact shape
     lat = []
-    nb = max(1, min(-(-len(queries) // latency_batch), max_latency_batches))
+    nb = max(1, min(len(queries) // latency_batch, max_latency_batches))
     for i in range(nb):
         batch = queries[i * latency_batch: (i + 1) * latency_batch]
+        if len(batch) < latency_batch:
+            break
         t1 = time.time()
         search_fn(batch, k)
         lat.append((time.time() - t1) * 1e6)

@@ -279,8 +279,8 @@ class MutableVamanaIndex:
         q_host = dt.pad_matrix(queries.astype(np.float32),
                                n_pad=plan.rows * plan.n_batches,
                                d_pad=self.data.padded_dim)
-        from .index import query_upload_dtype
-        q_host = q_host.astype(query_upload_dtype(), copy=False)
+        from .index import upload_dtype_for
+        q_host = q_host.astype(upload_dtype_for(q_host), copy=False)
         pending = []
         for i in range(plan.n_batches):
             check_cancel(cancel)

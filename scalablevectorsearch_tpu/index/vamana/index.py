@@ -105,6 +105,19 @@ def query_upload_dtype():
             "bfloat16": np.dtype(jnp.bfloat16)}[name]
 
 
+def upload_dtype_for(q_host: np.ndarray) -> np.dtype:
+    """Transfer dtype for this query set: ``query_upload_dtype`` unless the
+    values overflow float16's range (max 65504) — raw unnormalized feature
+    vectors would silently map to ±inf and poison every distance, so such
+    query sets fall back to full-width uploads (bfloat16 shares float32's
+    exponent range and needs no guard)."""
+    dtype = query_upload_dtype()
+    if dtype == np.float16 and q_host.size and \
+            np.max(np.abs(q_host)) > np.finfo(np.float16).max:
+        return np.dtype(np.float32)
+    return dtype
+
+
 @partial(jax.jit, static_argnames=(
     "k", "window", "capacity", "max_iters", "distance",
     "tail_frac", "visited_size", "two_level"))
@@ -352,7 +365,7 @@ class VamanaIndex:
                                d_pad=self.data.padded_dim)
         # half-width transfers halve the dominant tunnel cost; the cast
         # back to f32 happens inside the fused dispatch
-        q_host = q_host.astype(query_upload_dtype(), copy=False)
+        q_host = q_host.astype(upload_dtype_for(q_host), copy=False)
         pending = []
         for i in range(plan.n_batches):
             check_cancel(cancel)

@@ -109,9 +109,16 @@ class BatchIterator:
         index = self._index
         window, capacity = self._schedule.for_iteration(self._iteration)
         capacity = max(capacity, window)
+        status = getattr(index, "status", None)
         need = len(self._yielded) + m
+        if status is not None:
+            # dynamic indexes: deleted slots stay traversable until
+            # consolidation and occupy pool entries; without headroom for
+            # ALL of them a deleted-crowded pool could yield nothing and
+            # fake exhaustion while live neighbors remain
+            need += int(np.sum(np.asarray(status) == 2))  # SLOT_DELETED
         pool = 1 << int(np.ceil(np.log2(max(need + window, 64))))
-        pool = min(pool, int(index.size) + capacity)
+        pool = min(pool, int(index.size) + need + capacity)
 
         batch = dt.pad_matrix(self._query, n_pad=8,
                               d_pad=index.data.padded_dim)
@@ -124,10 +131,8 @@ class BatchIterator:
         ids = np.asarray(out.pool_ids[0])
         keys = np.asarray(out.pool_keys[0])
 
-        # dynamic indexes: deleted slots stay traversable until
-        # consolidation but must never be yielded (host-side status check —
+        # deleted slots must never be yielded (host-side status check —
         # the predicated-buffer analog, dynamic_search_buffer.h)
-        status = getattr(index, "status", None)
         fresh_ids = []
         fresh_keys = []
         for i, key in zip(ids, keys):

@@ -134,21 +134,36 @@ class MultiMutableVamanaIndex:
         any query holds fewer than ``k`` distinct labels (skewed label
         multiplicity can eat an average-sized fetch — one hot label's copies
         crowd out the rest), until k labels are found or the whole index has
-        been fetched."""
+        been fetched.  The fetch ladder is quantized to powers of two —
+        fetch is a static argument of the fused search dispatch, so an
+        unquantized ladder would compile a fresh executable per call — and
+        doubling re-searches ONLY the queries still short of ``k`` labels
+        (re-traversing satisfied queries would pay full batches for rows
+        whose answer is already final)."""
+        queries = np.asarray(queries, dtype=np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
         nv = max(self.num_vectors, k)
         mean_mult = max(self.num_vectors / max(self.size, 1), 1.0)
-        fetch = int(min(max(k * (1 + mean_mult), 2 * k), nv))
-        while True:
-            inner_res = self._inner.search(queries, fetch,
-                                           parameters=parameters,
-                                           cancel=cancel)
-            labels = self._label_of(inner_res.ids)
-            out_labels, out_vals, n_distinct = dedup_by_label(
-                labels, inner_res.distances, k)
-            want = min(k, self.size)
-            if fetch >= nv or int(n_distinct.min(initial=want)) >= want:
-                return QueryResult(ids=out_labels, distances=out_vals)
+        want_fetch = max(k * (1 + mean_mult), 2 * k)
+        fetch = int(min(1 << int(np.ceil(np.log2(want_fetch))), nv))
+        inner_res = self._inner.search(queries, fetch, parameters=parameters,
+                                       cancel=cancel)
+        out_labels, out_vals, n_distinct = dedup_by_label(
+            self._label_of(inner_res.ids), inner_res.distances, k)
+        want = min(k, self.size)
+        while fetch < nv:
+            short = np.nonzero(n_distinct < want)[0]
+            if short.size == 0:
+                break
             fetch = min(2 * fetch, nv)
+            sub = self._inner.search(queries[short], fetch,
+                                     parameters=parameters, cancel=cancel)
+            sl, sv, sn = dedup_by_label(
+                self._label_of(sub.ids), sub.distances, k)
+            out_labels[short], out_vals[short] = sl, sv
+            n_distinct[short] = sn
+        return QueryResult(ids=out_labels, distances=out_vals)
 
     # -- mutation -----------------------------------------------------------------
     def add_points(self, points, labels) -> None:

@@ -93,21 +93,20 @@ class PackedLVQNeighborhoods:
     def dtype(self):
         return self.codes.dtype
 
-    def decode(self, popped_flat: jax.Array, rows: int, k: int) -> jax.Array:
+    def decode(self, popped_flat: jax.Array, rows: int) -> jax.Array:
         """Gather + decode super-rows for ``popped_flat`` (rows * m,) node
-        ids -> (rows, k, d_pad) f32 primary reconstructions (k = m * R)."""
-        from ...quantization.lvq import _unpack4
+        ids -> (rows, m * R, d_pad) f32 primary reconstructions — the
+        shared exact decode (quantization.lvq.affine_decode), so results
+        are bit-identical to the unpacked LVQ traversal by construction."""
+        from ...quantization.lvq import affine_decode
         m_r = self.codes.shape[1]
         c = jnp.take(self.codes, popped_flat, axis=0, mode="clip")
-        if self.bits == 4:
-            c = _unpack4(c)
         s = jnp.take(self.scales, popped_flat, axis=0, mode="clip")
         b = jnp.take(self.biases, popped_flat, axis=0, mode="clip")
-        d_pad = c.shape[-1]
-        live = (jnp.arange(d_pad) < self.dim).astype(jnp.float32)
-        dec = (self.mean[None, None, :] + b[..., None]
-               + s[..., None] * c.astype(jnp.float32)) * live
-        return dec.reshape(rows, (popped_flat.shape[0] // rows) * m_r, d_pad)
+        dec = affine_decode(c, s, b, self.mean[None, None, :],
+                            bits=self.bits, dim=self.dim)
+        return dec.reshape(rows, (popped_flat.shape[0] // rows) * m_r,
+                           dec.shape[-1])
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("rows",))

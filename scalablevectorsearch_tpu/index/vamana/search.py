@@ -318,7 +318,7 @@ def greedy_search(graph: NeighborGraph,
                         # m super-row CODE gathers/query (int8: 1/4 the
                         # bf16 packed bytes); exact f32 primary decode
                         # fuses into the kernel-input write
-                        vecs = packed.decode(popped_flat, rows, m * r)
+                        vecs = packed.decode(popped_flat, rows)
                     elif packed is not None:
                         # m super-row gathers/query instead of m*r row
                         # gathers; rows of masked ids are garbage, masked
@@ -432,7 +432,7 @@ def greedy_search(graph: NeighborGraph,
             if packed_lvq:
                 # super-row code gathers + exact f32 primary decode (XLA
                 # fuses the affine decode into the score chain)
-                vecs = packed.decode(popped_flat, rows, m * r)
+                vecs = packed.decode(popped_flat, rows)
                 cand_keys = dist_ops.gathered_keys(
                     distance, q_rows, vecs, query_norms_sq=q_norms_rows)
                 cand_keys = jnp.where((nbrs >= 0) & (nbrs < data.n),

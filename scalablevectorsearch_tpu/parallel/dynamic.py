@@ -193,12 +193,14 @@ class ShardedMutableVamanaIndex:
                 d2 = jnp.sum((vec - mean[None, :]) ** 2, axis=1)
                 d2 = jnp.where(mine, d2, jnp.inf)
                 best_local = jnp.argmin(d2)
-                best = jnp.stack([d2[best_local],
-                                  (best_local + idx * rps).astype(
-                                      jnp.float32)])
-                allb = jax.lax.all_gather(best, axis)      # (S, 2)
-                win = jnp.argmin(allb[:, 0])
-                return allb[win, 1].astype(jnp.int32)
+                # keep the id lane integral: a float32 lane rounds global
+                # slot ids above 2^24 (Deep-100M scale) to a nearby — and
+                # possibly empty — slot
+                all_d2 = jax.lax.all_gather(d2[best_local], axis)   # (S,)
+                all_id = jax.lax.all_gather(
+                    (best_local + idx * rps).astype(jnp.int32), axis)
+                win = jnp.argmin(all_d2)
+                return all_id[win]
 
             return jax.jit(jax.shard_map(
                 local, mesh=self.mesh,
@@ -281,12 +283,12 @@ class ShardedMutableVamanaIndex:
         if dim != self.dim:
             raise ValueError(f"query dim {dim} != dataset dim {self.dim}")
         rows = dt.pad_to(nq, 8)
-        from ..index.vamana.index import query_upload_dtype
+        from ..index.vamana.index import upload_dtype_for
         q_host = dt.pad_matrix(queries.astype(np.float32),
                                n_pad=rows, d_pad=self.padded_dim)
         # same upload rounding as the single-chip index so results stay
         # bit-identical across the two paths (parity tests rely on it)
-        q = jnp.asarray(q_host.astype(query_upload_dtype(), copy=False))
+        q = jnp.asarray(q_host.astype(upload_dtype_for(q_host), copy=False))
         axis = self.axis
         g_meta, d_meta = self._views_meta()
 
@@ -545,10 +547,12 @@ class ShardedMutableVamanaIndex:
         remap64 = np.full(cap + 1, -1, dtype=np.int64)
         remap64[:cap] = old_to_new
         self.translator.remap(remap64)
-        if self.status[self.entry_point] != SLOT_VALID:
-            self.entry_point = self._sharded_medioid()
-        else:
-            self.entry_point = int(old_to_new[self.entry_point])
+        # match single-chip compact(): ALWAYS recompute the medioid
+        # (dynamic.py:427 -> _reset_entry_point).  The previous check read
+        # the NEW status array at the OLD entry slot — i.e. whatever point
+        # happens to occupy that slot after the permutation — so the two
+        # implementations could diverge after compaction.
+        self.entry_point = self._sharded_medioid()
 
     def _poison_norms(self, slots: np.ndarray) -> None:
         if slots.size == 0:

@@ -426,17 +426,15 @@ class ShardedLVQShard:
         return jnp.clip(lid, 0, self.rows_per_shard - 1), mine
 
     def _decode_local(self, lid: jax.Array) -> jax.Array:
-        """Primary-level decode of local rows — mirrors LVQDataset.get."""
-        from ..quantization.lvq import _unpack4
+        """Primary-level decode of local rows — the shared exact decode
+        (quantization.lvq.affine_decode), bit-identical to
+        LVQDataset.get by construction."""
+        from ..quantization.lvq import affine_decode
         rows = jnp.take(self.codes, lid, axis=0)
-        if self.bits == 4:
-            rows = _unpack4(rows)
         s = jnp.take(self.scales, lid, axis=0)
         b = jnp.take(self.biases, lid, axis=0)
-        live = (jnp.arange(self.padded_dim) < self.dim).astype(jnp.float32)
-        dec = (self.mean + b[..., None]
-               + s[..., None] * rows.astype(jnp.float32))
-        return dec * live
+        return affine_decode(rows, s, b, self.mean,
+                             bits=self.bits, dim=self.dim)
 
     def get(self, ids: jax.Array) -> jax.Array:
         lid, mine = self._local(ids)

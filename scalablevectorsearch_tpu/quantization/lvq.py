@@ -68,6 +68,23 @@ def _unpack4(packed: jax.Array) -> jax.Array:
                        packed.shape[-1] * 2).astype(jnp.int8)
 
 
+def affine_decode(codes, scales, biases, mean, *, bits: int, dim: int):
+    """THE single implementation of the exact LVQ primary reconstruction
+    ``(mean + bias + scale * code) * live``: packed neighborhoods
+    (index/vamana/packed.py) and mesh shard views (parallel/sharded.py)
+    must be bit-identical to ``LVQDataset.get``, so all three call this.
+
+    ``codes``: (..., w1) stored codes (packed nibbles when bits == 4);
+    ``scales``/``biases``: (...,) per-vector constants; ``mean``: (d_pad,).
+    """
+    if bits == 4:
+        codes = _unpack4(codes)
+    d_pad = codes.shape[-1]
+    live = (jnp.arange(d_pad) < dim).astype(jnp.float32)
+    return (mean + biases[..., None]
+            + scales[..., None] * codes.astype(jnp.float32)) * live
+
+
 def _quantize_primary(resid: np.ndarray, bits: int):
     """Per-row min/max fit: returns (codes int8 signed, scales, biases)."""
     levels = (1 << bits) - 1
@@ -197,13 +214,11 @@ class LVQDataset:
         """Gather decompressed rows (f32), *primary level only* — this is
         what graph traversal scores against (the bandwidth win).  Use
         :meth:`get_full` / :meth:`full_view` for two-level reconstruction."""
-        rows = self._codes_of(ids)
+        rows = jnp.take(self.codes, ids, axis=0, mode="clip")
         s = jnp.take(self.scales, ids, axis=0, mode="clip")
         b = jnp.take(self.biases, ids, axis=0, mode="clip")
-        live = (jnp.arange(self.padded_dim) < self.dim).astype(jnp.float32)
-        dec = (self.mean + b[..., None]
-               + s[..., None] * rows.astype(jnp.float32))
-        return dec * live
+        return affine_decode(rows, s, b, self.mean,
+                             bits=self.bits, dim=self.dim)
 
     def get_full(self, ids: jax.Array) -> jax.Array:
         """Two-level reconstruction (== get() when residual_bits == 0)."""

@@ -191,18 +191,23 @@ class SQDataset:
 
         qc = self.quantize_queries(queries)
         qsums = jnp.sum(qc.astype(jnp.float32), axis=-1)
-        if self.codes.dtype == jnp.int8:
-            # int8 x int8 -> int32 runs at the MXU's highest rate
+        if self.codes.dtype in (jnp.int8, jnp.uint8):
+            # 8-bit x 8-bit -> int32 runs at the MXU's highest rate and is
+            # exact (255^2 * d < 2^31 at any realistic d)
             dots_i = jax.lax.dot_general(
                 qc, xs, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32).astype(jnp.float32)
         else:
-            # uint8/int16 codes: int32 accumulation would overflow for
-            # int16 (|c|^2 * d > 2^31 at d=128); accumulate in f32
+            # int16 codes: int32 accumulation would overflow
+            # (|c|^2 * d > 2^31 at d=128); accumulate in f32 at HIGHEST —
+            # TPU's default 1-pass bf16 matmul cannot represent 16-bit code
+            # values (8-bit mantissa), which would corrupt the distances far
+            # beyond the quantization step
             dots_i = jax.lax.dot_general(
                 qc.astype(jnp.float32), xs.astype(jnp.float32),
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
         s, b = self.scale, self.bias
         dots = (s * s) * dots_i + (s * b) * (qsums[:, None]
                                              + xsums[None, :]) \

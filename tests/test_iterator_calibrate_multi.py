@@ -250,3 +250,27 @@ class TestBatchIteratorDeepPaging:
         for _ in range(3):
             ids = it.next().ids[0]
             assert not (set(ids[ids >= 0].tolist()) & doomed)
+
+    def test_deleted_crowding_does_not_fake_exhaustion(self, small_dataset):
+        """Soft-delete the ~128 nearest points to a query: the candidate
+        pool must keep headroom for the deleted slots so the first pages
+        still yield live neighbors instead of declaring exhaustion."""
+        data, queries = small_dataset
+        n = 400
+        params = VamanaBuildParameters(graph_max_degree=16, window_size=32)
+        index = svt.MutableVamanaIndex(params, data[:n], np.arange(n), "l2")
+        doomed = np.asarray(
+            svt.exhaustive_search(data[:n], queries[:1], 128).ids[0])
+        index.delete_points(doomed)
+        it = BatchIterator(index, queries[0], batch_size=10)
+        got = []
+        for _ in range(5):
+            if it.done():
+                break
+            ids = it.next().ids[0]
+            got.extend(ids[ids >= 0].tolist())
+        # plenty of live points remain (400 - 128): the iterator must keep
+        # producing them, never yield a deleted id, and not stop early
+        assert len(got) >= 30, got
+        assert not (set(got) & set(doomed.tolist()))
+        assert len(set(got)) == len(got)

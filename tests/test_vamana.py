@@ -422,3 +422,17 @@ class TestServingDispatch:
             np.testing.assert_array_equal(out.ids, ref.ids)
             np.testing.assert_allclose(out.distances, ref.distances,
                                        rtol=1e-6)
+
+    def test_f16_upload_overflow_falls_back_to_f32(self, built_index,
+                                                   small_dataset):
+        """Query values beyond float16 range (65504) must not be cast to
+        inf: the upload helper falls back to full-width for such sets."""
+        from scalablevectorsearch_tpu.index.vamana.index import (
+            upload_dtype_for)
+        data, queries = small_dataset
+        big = np.asarray(queries[:8], dtype=np.float32) * 1e6
+        assert upload_dtype_for(big) == np.float32
+        assert upload_dtype_for(np.asarray(queries[:8])) == np.float16
+        out = built_index.search(big, 5)
+        assert np.all(np.isfinite(out.distances)), out.distances
+        assert np.all(out.ids >= 0)
