@@ -299,6 +299,21 @@ class TestShardedDynamic:
         r_sh = sh.search(queries, 5)
         np.testing.assert_array_equal(r_sc.ids, r_sh.ids)
 
+        # compact: slot layouts legitimately differ (global dense prefix vs
+        # shard-local prefixes) but both must relabel the SAME graph and
+        # recompute the medioid over the SAME alive set — external-id
+        # search results stay identical
+        sc.compact()
+        sh.compact()
+        assert sc.size == sh.size
+        np.testing.assert_array_equal(sc.all_ids(), sh.all_ids())
+        assert (sc.translator.to_external(np.asarray([sc.entry_point]))[0]
+                == sh.translator.to_external(
+                    np.asarray([sh.entry_point]))[0])
+        r_sc = sc.search(queries, 5)
+        r_sh = sh.search(queries, 5)
+        np.testing.assert_array_equal(r_sc.ids, r_sh.ids)
+
     def test_lifecycle_from_scratch(self, eight_devices):
         """Native sharded build + full mutation cycle, recall-gated."""
         from scalablevectorsearch_tpu.parallel.dynamic import (
