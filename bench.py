@@ -104,7 +104,10 @@ def _build_and_serve(data, queries, k, alpha, windows, label):
         # the TPU analog of the reference's threadpool-saturated QPS
         # measurement (index.h:556-603 partitions one batch across threads;
         # a serving deployment keeps the queue non-empty).
-        reps = 4
+        # reps amortize the pipeline fill (first call's upload + last
+        # call's readback): measured 100k/w24 QPS 101.6k at reps=4,
+        # 112.8k at 8, 131.4k at 16 vs a 138k no-upload device ceiling
+        reps = 10
         qps = 0.0
         for _ in range(2):
             t0 = time.time()
