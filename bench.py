@@ -27,7 +27,8 @@ comparable to the reference's build times.
 Environment knobs: SVT_BENCH_N (default 100000), SVT_BENCH_DIM (128),
 SVT_BENCH_QUERIES (5000), SVT_BENCH_QB (query batch rows), SVT_BENCH_1M=0
 (skip the 1M scale), SVT_BENCH_BUDGET_S (default 2700: skip the 1M phase if
-the 100k phase already used more than half the budget).
+the 100k phase already used more than half the budget), SVT_BENCH_SAMPLER=0
+(disable per-query sampled entry points and revert to the medioid entry).
 """
 
 import json
@@ -88,6 +89,14 @@ def _build_and_serve(data, queries, k, alpha, windows, label):
         index.enable_packed_serving()
         print(f"# packed neighborhoods: {time.time() - t0:.1f}s",
               file=sys.stderr, flush=True)
+
+    if os.environ.get("SVT_BENCH_SAMPLER", "1") != "0":
+        # per-query sampled entry points: one MXU matmul vs a resident
+        # 1024-row sample replaces the medioid-to-neighborhood walk —
+        # ~3x fewer lockstep iterations at BETTER recall (entry.py;
+        # measured 100k: medioid w=24 0.903 @ 27.5 iters vs sampled
+        # w=12 0.924 @ 9.5 iters)
+        index.enable_entry_sampler()
 
     gt = svt.exhaustive_search(data, queries, k)
     nq = len(queries)
@@ -166,8 +175,12 @@ def main():
     print(f"# plugin warm-up (one-time, overlapped with datagen): "
           f"{warm.get('warmup_s', 0):.1f}s", file=sys.stderr, flush=True)
 
-    head = _build_and_serve(data, queries, k, alpha,
-                            (10, 16, 20, 24, 26, 28, 32, 48, 64, 96, 128),
+    # sampled entries reach recall 0.9 at roughly half the window of the
+    # medioid entry (measured: 100k w=12 vs w=24, see entry.py docstring)
+    sampler_on = os.environ.get("SVT_BENCH_SAMPLER", "1") != "0"
+    head_windows = (11, 12, 13, 14, 16, 20, 24, 32, 48, 64, 96, 128) \
+        if sampler_on else (10, 16, 20, 24, 26, 28, 32, 48, 64, 96, 128)
+    head = _build_and_serve(data, queries, k, alpha, head_windows,
                             f"{n // 1000}k")
 
     scale_1m = None
@@ -176,8 +189,10 @@ def main():
             and elapsed < budget_s / 2:
         data1, queries1 = svt.generate_test_dataset(1_000_000, 2000, dim,
                                                     seed=7)
+        windows_1m = (20, 24, 28, 32, 48, 64) if sampler_on \
+            else (24, 32, 48, 64)
         scale_1m = _build_and_serve(data1, queries1, k, alpha,
-                                    (24, 32, 48, 64), "1M")
+                                    windows_1m, "1M")
 
     out = {
         "metric": f"vamana_qps_at_recall0.9 (n={n}, d={dim}, "

@@ -125,6 +125,8 @@ class MutableVamanaIndex:
         self._search_parameters = VamanaSearchParameters()
         self._packed = None          # packed neighborhoods (lazy)
         self._packed_dtype = None    # None => packed serving disabled
+        self._entry_sampler = None   # per-query entries (lazy; see enable_)
+        self._sampler_cfg = None
         self.tail_frac = 4           # lockstep tail compaction (search.py)
 
         # initial construction: the full two-pass static builder, then pad
@@ -212,8 +214,42 @@ class MutableVamanaIndex:
         self._packed = None
         self._packed_dtype = None
 
+    # -- per-query entry selection ---------------------------------------------
+    def enable_entry_sampler(self, n_samples: int = 1024,
+                             n_entries: int = 1, seed: int = 0) -> None:
+        """Per-query entry selection from a resident sample of the LIVE
+        slots (see index.py ``VamanaIndex.enable_entry_sampler`` and
+        entry.py).  Every mutation invalidates the sample — slot reuse can
+        silently repoint a sampled id at a different vector, and
+        consolidation clears deleted rows' adjacency (a sampled entry with
+        no out-edges strands its queries) — so it is rebuilt lazily on the
+        next search from the then-current VALID slots."""
+        self._sampler_cfg = (n_samples, n_entries, seed)
+        self._entry_sampler = None
+
+    def disable_entry_sampler(self) -> None:
+        self._sampler_cfg = None
+        self._entry_sampler = None
+
+    def _ensure_sampler(self):
+        cfg = getattr(self, "_sampler_cfg", None)
+        if cfg is None:
+            return None, 1
+        if self._entry_sampler is None:
+            from .entry import build_sampler
+            n_samples, n_entries, seed = cfg
+            alive = np.nonzero(self.status == SLOT_VALID)[0]
+            rng = np.random.default_rng(seed)
+            size = min(n_samples, alive.size)
+            ids = rng.choice(alive, size=size, replace=False) \
+                if size else np.asarray([self.entry_point])
+            self._entry_sampler = build_sampler(self.data, n_samples,
+                                                ids=ids)
+        return self._entry_sampler, cfg[1]
+
     def _invalidate_packed(self) -> None:
         self._packed = None
+        self._entry_sampler = None
 
     def _ensure_packed(self):
         if self._packed_dtype is None:
@@ -269,6 +305,7 @@ class MutableVamanaIndex:
         plan = _BatchPlan.plan(nq, self.query_batch_size)
         entry_ids = jnp.asarray([self.entry_point], dtype=jnp.int32)
         packed = self._ensure_packed()
+        sampler, n_entries = self._ensure_sampler()
         out_ids = np.empty((nq, k), dtype=np.int64)
         out_vals = np.empty((nq, k), dtype=np.float32)
         # one host-side pad, then per-batch ASYNC uploads (batch i+1's
@@ -286,12 +323,12 @@ class MutableVamanaIndex:
             check_cancel(cancel)
             q_i = jnp.asarray(q_host[i * plan.rows:(i + 1) * plan.rows])
             ids, vals = _dyn_search_batch(
-                self.graph, self.data, packed, self.deleted_mask, q_i,
-                entry_ids,
+                self.graph, self.data, packed, self.deleted_mask, sampler,
+                q_i, entry_ids,
                 k=k, window=window, capacity=capacity,
                 max_iters=max_iters, distance=self.distance,
                 pop_width=self.pop_width, tail_frac=self.tail_frac,
-                visited_size=visited_size)
+                visited_size=visited_size, n_entries=n_entries)
             pending.append((i * plan.rows, ids, vals))
         for _start, ids, vals in pending:
             ids.copy_to_host_async()
@@ -510,6 +547,8 @@ class MutableVamanaIndex:
         obj._search_parameters = VamanaSearchParameters()
         obj._packed = None
         obj._packed_dtype = None
+        obj._entry_sampler = None
+        obj._sampler_cfg = None
         obj.tail_frac = 4
         return obj
 
@@ -567,17 +606,20 @@ def _drop_deleted(keys: jax.Array, ids: jax.Array, deleted_mask: jax.Array,
 
 @partial(jax.jit, static_argnames=(
     "k", "window", "capacity", "max_iters", "distance", "pop_width",
-    "tail_frac", "visited_size"))
-def _dyn_search_batch(graph, data, packed, deleted_mask, q,
+    "tail_frac", "visited_size", "n_entries"))
+def _dyn_search_batch(graph, data, packed, deleted_mask, sampler, q,
                       entry_ids, *, k: int, window: int,
                       capacity: int, max_iters: int, distance,
-                      pop_width: int, tail_frac: int, visited_size: int):
-    """One fused serving dispatch for the dynamic index: beam search +
-    deleted-slot drop + key->distance conversion on one equal-shape,
-    asynchronously-uploaded query batch (mirrors index.py `_search_batch`;
-    the predicated extraction is the reference's dynamic_search_buffer.h
-    semantics)."""
+                      pop_width: int, tail_frac: int, visited_size: int,
+                      n_entries: int = 1):
+    """One fused serving dispatch for the dynamic index: (optional)
+    per-query entry selection + beam search + deleted-slot drop +
+    key->distance conversion on one equal-shape, asynchronously-uploaded
+    query batch (mirrors index.py `_search_batch`; the predicated
+    extraction is the reference's dynamic_search_buffer.h semantics)."""
     q = q.astype(jnp.float32)
+    if sampler is not None:
+        entry_ids = sampler.select(distance, q, n_entries=n_entries)
     out = search_mod.greedy_search(
         graph, data, q, entry_ids,
         window=window, capacity=capacity, max_iters=max_iters,

@@ -1,0 +1,103 @@
+"""Per-query sampled entry-point selection.
+
+The reference seeds every greedy search from one global entry point — the
+dataset medioid (``include/svs/index/vamana/index.h:268`` stores it;
+``greedy_search.h:62-94``'s ``EntryPointInitializer`` seeds the buffer) —
+so every query pays the graph-radius walk from the center to its own
+neighborhood.  That cost is invisible on a CPU (the walk is a handful of
+cache-resident hops) but dominates TPU lockstep serving, where each hop is
+a full sequential iteration through the ~45 ms-deep dispatch pipeline.
+
+TPU-native reformulation: keep a small uniform sample of the dataset
+resident (S rows), and pick each query's nearest sampled row with ONE MXU
+matmul fused into the search dispatch — (B, d) x (d, S) is a few hundred
+MFLOPs, effectively free next to a single beam iteration.  The walk then
+starts inside the query's own region.
+
+Measured (100k x 128, packed serving, real TPU — PERF.md round-3): medioid
+w=24 -> recall 0.9030 at 27.5 lockstep iterations; sampled S=1024 w=12 ->
+recall 0.9238 at 9.5 iterations and ~3x the device-level QPS.  Recall at
+equal window only goes UP (w=16: 0.9535 vs 0.8661) because the beam spends
+its slots in the right neighborhood instead of on the approach path.
+
+S=1024 is the measured sweet spot: 4096/16384 samples bought no recall at
+equal window (the graph walk covers the residual distance in ~1 hop
+either way), and E>1 entries per query only helped marginally at w=12.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import distance as dist_ops
+
+DEFAULT_SAMPLES = 1024
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["vectors", "norms_sq", "ids"],
+         meta_fields=[])
+@dataclasses.dataclass
+class EntrySampler:
+    """Resident dataset sample for per-query entry selection.
+
+    ``ids`` slots may be -1 (excluded); their keys are masked to +inf so
+    ``select`` never returns them.  All arrays are device-resident; the
+    whole structure is a pytree so it traces straight into the fused
+    serving dispatch.
+    """
+
+    vectors: jax.Array   # (S, d_pad) f32
+    norms_sq: jax.Array  # (S,) f32
+    ids: jax.Array       # (S,) int32, -1 = excluded slot
+
+    def select(self, distance, queries: jax.Array,
+               n_entries: int = 1,
+               invalid: Optional[jax.Array] = None) -> jax.Array:
+        """(B, d_pad) queries -> (B, n_entries) int32 entry ids.
+
+        ``invalid``: optional (S,) bool marking slots to exclude for this
+        call (e.g. a dynamic index's deleted mask gathered at the sample
+        ids).
+        """
+        distance = dist_ops.as_distance(distance)
+        keys = dist_ops.pairwise_keys(distance, queries.astype(jnp.float32),
+                                      self.vectors,
+                                      vector_norms_sq=self.norms_sq)
+        bad = self.ids[None, :] < 0
+        if invalid is not None:
+            bad = bad | invalid[None, :]
+        keys = jnp.where(bad, jnp.inf, keys)
+        if n_entries == 1:
+            return self.ids[jnp.argmin(keys, axis=-1)][:, None]
+        _, idx = jax.lax.top_k(-keys, n_entries)
+        return self.ids[idx]
+
+
+def build_sampler(data, n_samples: int = DEFAULT_SAMPLES,
+                  *, ids: Optional[np.ndarray] = None,
+                  seed: int = 0) -> EntrySampler:
+    """Sample ``n_samples`` rows uniformly from a dataset-protocol object.
+
+    ``ids`` overrides the uniform sample (callers with liveness knowledge —
+    the dynamic index — pass their own alive slot ids).  The sample is
+    decompressed to f32 once (``get_f32``), so compressed datasets select
+    entries at full precision.
+    """
+    if ids is None:
+        n = data.n
+        rng = np.random.default_rng(seed)
+        size = min(n_samples, n)
+        ids = rng.choice(n, size=size, replace=False).astype(np.int32)
+    else:
+        ids = np.asarray(ids, dtype=np.int32)[:n_samples]
+    dev_ids = jnp.asarray(ids)
+    vectors = data.get_f32(dev_ids)
+    norms = jnp.sum(vectors * vectors, axis=-1)
+    return EntrySampler(vectors=vectors, norms_sq=norms, ids=dev_ids)

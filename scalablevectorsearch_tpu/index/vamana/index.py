@@ -120,21 +120,27 @@ def upload_dtype_for(q_host: np.ndarray) -> np.dtype:
 
 @partial(jax.jit, static_argnames=(
     "k", "window", "capacity", "max_iters", "distance",
-    "tail_frac", "visited_size", "two_level"))
-def _search_batch(graph, data, packed, rerank_view, q, entry_ids,
+    "tail_frac", "visited_size", "two_level", "n_entries"))
+def _search_batch(graph, data, packed, rerank_view, sampler, q, entry_ids,
                   *, k: int, window: int, capacity: int,
                   max_iters: int, distance, tail_frac: int,
-                  visited_size: int, two_level: bool):
-    """One fully-fused serving dispatch: beam search + (optional) two-level
-    rerank + key->distance conversion — the host does nothing between
-    dispatches but enqueue (the reference's zero-overhead batch partition,
-    index.h:556-603).  ``q`` is one equal-shape batch whose upload was
-    started asynchronously by the caller, so batch i+1's host->device
-    transfer rides the tunnel while batch i computes (the transfer overlap
-    that took round-2 serving 16k -> 41k QPS); it may arrive in a
-    half-width dtype (``query_upload_dtype``) and is cast to f32 here."""
+                  visited_size: int, two_level: bool, n_entries: int = 1):
+    """One fully-fused serving dispatch: (optional) per-query entry
+    selection + beam search + (optional) two-level rerank + key->distance
+    conversion — the host does nothing between dispatches but enqueue (the
+    reference's zero-overhead batch partition, index.h:556-603).  ``q`` is
+    one equal-shape batch whose upload was started asynchronously by the
+    caller, so batch i+1's host->device transfer rides the tunnel while
+    batch i computes (the transfer overlap that took round-2 serving
+    16k -> 41k QPS); it may arrive in a half-width dtype
+    (``query_upload_dtype``) and is cast to f32 here."""
     from ...index.ivf.index import rerank_kernel
     q = q.astype(jnp.float32)
+    if sampler is not None:
+        # one MXU matmul against the resident sample replaces the
+        # medioid-to-neighborhood walk (entry.py; ~3x fewer lockstep
+        # iterations at BETTER recall, measured)
+        entry_ids = sampler.select(distance, q, n_entries=n_entries)
     out = search_mod.greedy_search(
         graph, data, q, entry_ids,
         window=window, capacity=capacity, max_iters=max_iters,
@@ -208,6 +214,8 @@ class VamanaIndex:
         self.query_batch_size = query_batch_size
         self.logger = logger
         self._packed = None  # packed neighborhoods (enable_packed_serving)
+        self._entry_sampler = None   # per-query entries (enable_entry_sampler)
+        self._entry_n = 1
         # lockstep tail compaction (search.py greedy_search tail_frac):
         # finish each batch's stragglers on a 1/4-size compacted slice
         self.tail_frac = 4
@@ -300,6 +308,27 @@ class VamanaIndex:
     def disable_packed_serving(self) -> None:
         self._packed = None
 
+    # -- per-query entry selection -------------------------------------------------
+    def enable_entry_sampler(self, n_samples: int = 1024,
+                             n_entries: int = 1, seed: int = 0) -> None:
+        """Select each query's entry point from a resident dataset sample
+        with one MXU matmul fused into the search dispatch (entry.py) —
+        replaces the medioid-to-neighborhood walk that dominates lockstep
+        serving (measured ~3x fewer iterations at BETTER recall; the
+        equal-recall window drops about 2x, e.g. 24 -> 12 at 100k).
+
+        Deterministic given ``seed``.  Results differ from medioid-entry
+        searches (usually for the better); calibrated windows should be
+        re-calibrated after toggling this.
+        """
+        from .entry import build_sampler
+        self._entry_sampler = build_sampler(self.data, n_samples, seed=seed)
+        self._entry_n = n_entries
+
+    def disable_entry_sampler(self) -> None:
+        self._entry_sampler = None
+        self._entry_n = 1
+
     # -- search -------------------------------------------------------------------
     def search(self, queries, k: int,
                parameters: Optional[VamanaSearchParameters] = None,
@@ -371,12 +400,12 @@ class VamanaIndex:
             check_cancel(cancel)
             q_i = jnp.asarray(q_host[i * plan.rows:(i + 1) * plan.rows])
             ids_k, vals_k = _search_batch(
-                self.graph, self.data, self._packed, rerank_view, q_i,
-                entry_ids,
+                self.graph, self.data, self._packed, rerank_view,
+                self._entry_sampler, q_i, entry_ids,
                 k=k, window=window, capacity=capacity,
                 max_iters=max_iters, distance=self.distance,
                 tail_frac=self.tail_frac, visited_size=visited_size,
-                two_level=two_level)
+                two_level=two_level, n_entries=self._entry_n)
             pending.append((i * plan.rows, ids_k, vals_k))
         # start EVERY device->host copy before the first blocking read:
         # each blocking transfer costs a full tunnel round trip (~45 ms)

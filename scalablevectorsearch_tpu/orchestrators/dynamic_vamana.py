@@ -32,6 +32,24 @@ class DynamicVamana:
     def search(self, queries, n_neighbors: int) -> QueryResult:
         return self._index.search(queries, n_neighbors)
 
+    # -- TPU serving levers (no reference analog; see PERF.md) -------------------
+    def enable_packed_serving(self, *args, **kwargs) -> None:
+        """Packed-neighborhood serving (see
+        MutableVamanaIndex.enable_packed_serving)."""
+        self._index.enable_packed_serving(*args, **kwargs)
+
+    def disable_packed_serving(self) -> None:
+        self._index.disable_packed_serving()
+
+    def enable_entry_sampler(self, n_samples: int = 1024,
+                             n_entries: int = 1, seed: int = 0) -> None:
+        """Per-query sampled entry points, rebuilt lazily after mutations
+        (see MutableVamanaIndex.enable_entry_sampler and entry.py)."""
+        self._index.enable_entry_sampler(n_samples, n_entries, seed)
+
+    def disable_entry_sampler(self) -> None:
+        self._index.disable_entry_sampler()
+
     def search_async(self, queries, n_neighbors: int):
         """Dispatch-only search (see VamanaIndex.search_async)."""
         return self._index.search_async(queries, n_neighbors)

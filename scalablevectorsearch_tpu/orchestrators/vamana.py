@@ -54,6 +54,23 @@ class Vamana:
         ``.result()`` (see VamanaIndex.search_async)."""
         return self._index.search_async(queries, n_neighbors)
 
+    # -- TPU serving levers (no reference analog; see PERF.md) -------------------
+    def enable_packed_serving(self, *args, **kwargs) -> None:
+        """Packed-neighborhood serving (see VamanaIndex.enable_packed_serving)."""
+        self._index.enable_packed_serving(*args, **kwargs)
+
+    def disable_packed_serving(self) -> None:
+        self._index.disable_packed_serving()
+
+    def enable_entry_sampler(self, n_samples: int = 1024,
+                             n_entries: int = 1, seed: int = 0) -> None:
+        """Per-query sampled entry points (see
+        VamanaIndex.enable_entry_sampler and index/vamana/entry.py)."""
+        self._index.enable_entry_sampler(n_samples, n_entries, seed)
+
+    def disable_entry_sampler(self) -> None:
+        self._index.disable_entry_sampler()
+
     # -- parameter surface ------------------------------------------------------
     @property
     def search_window_size(self) -> int:

@@ -143,6 +143,47 @@ class TestMutableVamana:
         assert (res2.ids >= 0).all()
         assert not np.isin(res2.ids, np.arange(0, 50)).any()
 
+    def test_entry_sampler_tracks_mutations(self, pool):
+        """Per-query sampled entries on the dynamic index: every mutation
+        invalidates the sample (slot reuse repoints ids; consolidation
+        clears deleted rows' adjacency), which is rebuilt lazily from the
+        then-current VALID slots; results always exclude deleted ids."""
+        data, queries = pool
+        params = VamanaBuildParameters(graph_max_degree=16, window_size=32,
+                                       alpha=1.1)
+        index = MutableVamanaIndex(params, data[:600], np.arange(600), "l2")
+        index.search_window_size = 24
+        gt = svt.exhaustive_search(data[:600], queries[:32], 5)
+        base = svt.k_recall_at_n(gt, index.search(queries[:32], 5))
+        index.enable_entry_sampler(n_samples=128, seed=0)
+        res = index.search(queries[:32], 5)
+        assert index._entry_sampler is not None
+        assert svt.k_recall_at_n(gt, res) >= base - 0.05
+        # sampled ids are all live slots
+        sampled = np.asarray(index._entry_sampler.ids)
+        assert (index.status[sampled] == 1).all()
+
+        index.add_points(data[600:700], np.arange(600, 700))
+        assert index._entry_sampler is None          # invalidated
+        index.search(queries[:8], 5)
+        assert index._entry_sampler is not None      # lazily rebuilt
+
+        dead = np.arange(0, 80)
+        index.delete_points(dead)
+        res2 = index.search(queries[:32], 5)
+        assert not np.isin(res2.ids, dead).any()
+        index.consolidate()
+        assert index._entry_sampler is None
+        index.compact()
+        res3 = index.search(queries[:32], 5)
+        assert (res3.ids >= 0).all()
+        assert not np.isin(res3.ids, dead).any()
+        # post-compact sample drawn from remapped VALID slots only
+        sampled = np.asarray(index._entry_sampler.ids)
+        assert (index.status[sampled] == 1).all()
+        index.disable_entry_sampler()
+        assert index._entry_sampler is None
+
     def test_entry_point_survives_deletion(self, pool):
         data, queries = pool
         params = VamanaBuildParameters(graph_max_degree=16, window_size=32)
@@ -169,6 +210,13 @@ class TestDynamicOrchestrators:
         res = dv.search(queries[:8], 5)
         assert res.ids.shape == (8, 5)
         assert dv.alpha == pytest.approx(1.2)
+        # TPU serving levers delegate through the orchestrator
+        dv.enable_packed_serving()
+        dv.enable_entry_sampler(n_samples=64, seed=0)
+        res2 = dv.search(queries[:8], 5)
+        assert res2.ids.shape == (8, 5) and (res2.ids >= 0).all()
+        dv.disable_entry_sampler()
+        dv.disable_packed_serving()
 
     def test_dynamic_flat_surface(self, pool):
         data, queries = pool

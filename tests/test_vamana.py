@@ -236,6 +236,22 @@ class TestVamanaPersistence:
         r2 = v2.search(queries[:8], 5)
         np.testing.assert_array_equal(r1.ids, r2.ids)
 
+    def test_orchestrator_serving_levers(self, small_dataset):
+        """The orchestrator exposes the TPU serving levers (packed
+        neighborhoods + entry sampler) by delegation."""
+        data, queries = small_dataset
+        params = VamanaBuildParameters(graph_max_degree=16, window_size=32)
+        v = Vamana.build(params, data, "l2", batch_size=256)
+        base = v.search(queries[:16], 5)
+        v.enable_packed_serving()
+        v.enable_entry_sampler(n_samples=128, seed=0)
+        res = v.search(queries[:16], 5)
+        assert res.ids.shape == base.ids.shape and (res.ids >= 0).all()
+        v.disable_entry_sampler()
+        v.disable_packed_serving()
+        np.testing.assert_array_equal(v.search(queries[:16], 5).ids,
+                                      base.ids)
+
 
 class TestStreamAndDistance:
     def test_stream_roundtrip(self, tmp_path, built_index, small_dataset):
@@ -325,6 +341,59 @@ class TestPackedServing:
         assert r_bf16 >= r0 - 0.02
         idx.disable_packed_serving()
         np.testing.assert_array_equal(idx.search(queries, 10).ids, res0.ids)
+
+
+class TestEntrySampler:
+    def test_sampler_recall_and_validity(self, built_index, small_dataset):
+        """Per-query sampled entries (index/vamana/entry.py): recall at
+        equal window must not regress vs the medioid entry (measured on
+        TPU it IMPROVES — the beam starts inside the query's region), and
+        results stay valid/sorted.  Deterministic per seed."""
+        data, queries = small_dataset
+        gt = exhaustive_search(data, queries, 10)
+        built_index.search_window_size = 16
+        base = k_recall_at_n(gt, built_index.search(queries, 10))
+        built_index.enable_entry_sampler(n_samples=256, seed=0)
+        res = built_index.search(queries, 10)
+        sampled = k_recall_at_n(gt, res)
+        assert sampled >= base - 0.02, (sampled, base)
+        assert np.all(res.ids >= 0) and np.all(res.ids < data.shape[0])
+        assert np.all(np.diff(res.distances, axis=1) >= -1e-5)
+        # deterministic given the seed
+        again = built_index.search(queries, 10)
+        np.testing.assert_array_equal(res.ids, again.ids)
+        built_index.enable_entry_sampler(n_samples=256, n_entries=2, seed=0)
+        multi = k_recall_at_n(gt, built_index.search(queries, 10))
+        assert multi >= sampled - 0.02
+        built_index.disable_entry_sampler()
+        back = k_recall_at_n(gt, built_index.search(queries, 10))
+        assert back == base
+
+    def test_sampler_selects_nearest(self, rng):
+        """EntrySampler.select returns the key-nearest sampled id per query
+        for every metric; -1 slots are never selected."""
+        from scalablevectorsearch_tpu.index.vamana.entry import build_sampler
+        from scalablevectorsearch_tpu.lib.datatypes import pad_matrix
+        from scalablevectorsearch_tpu.ops import distance as dist_ops
+        x = rng.normal(size=(200, 24)).astype(np.float32)
+        data = VectorDataset.from_array(x)
+        q = rng.normal(size=(16, 24)).astype(np.float32)
+        qp = jnp.asarray(pad_matrix(q, d_pad=data.padded_dim))
+        for metric in ("l2", "mip", "cosine"):
+            d = dist_ops.as_distance(metric)
+            s = build_sampler(data, 64, seed=1)
+            got = np.asarray(s.select(d, qp))[:, 0]
+            sample_ids = np.asarray(s.ids)
+            keys = np.asarray(dist_ops.pairwise_keys(
+                d, qp, s.vectors, vector_norms_sq=s.norms_sq))
+            expect = sample_ids[np.argmin(keys, axis=1)]
+            np.testing.assert_array_equal(got, expect)
+            # masked slots are never selected
+            import dataclasses
+            masked = dataclasses.replace(
+                s, ids=jnp.where(jnp.arange(64) < 60, -1, s.ids))
+            got2 = np.asarray(masked.select(d, qp))[:, 0]
+            assert np.all(np.isin(got2, sample_ids[60:]))
 
 
 class TestReferenceInterop:
