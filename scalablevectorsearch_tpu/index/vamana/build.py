@@ -105,6 +105,8 @@ def build_round(graph: NeighborGraph,
                 batch_ids: jax.Array,
                 batch_valid: jax.Array,
                 entry_ids: jax.Array,
+                sampler=None,
+                sample_invalid: Optional[jax.Array] = None,
                 *,
                 window: int, capacity: int, max_iters: int,
                 distance: dist_ops.DistanceType, pool_size: int,
@@ -129,6 +131,21 @@ def build_round(graph: NeighborGraph,
     b = batch_ids.shape[0]
     queries = data.get(batch_ids)
     q_norms = data.norms_of(batch_ids)
+
+    if sampler is not None:
+        # per-node sampled entries (entry.py): start each node's build
+        # search inside its own region instead of walking from the
+        # medioid — same lever as serving, applied to the ~2(n/b) build
+        # rounds.  ``sample_invalid`` masks sample rows not yet inserted
+        # (pass 1 inserts in id order, so their adjacency is still
+        # empty); when nothing is valid yet (round 0) fall back to the
+        # provided entry so ONE executable covers every round.
+        sel = sampler.select(distance, queries, invalid=sample_invalid)
+        has_valid = jnp.any((sampler.ids >= 0) &
+                            ~(sample_invalid if sample_invalid is not None
+                              else jnp.zeros_like(sampler.ids, bool)))
+        fallback = jnp.broadcast_to(entry_ids[:1][None, :], sel.shape)
+        entry_ids = jnp.where(has_valid, sel, fallback.astype(sel.dtype))
 
     # --- 1. search with pool tracking -----------------------------------
     out = search_mod.greedy_search(
@@ -285,6 +302,8 @@ def build_graph(data: VectorDataset,
                 prune_pool: int = 0,
                 tail_frac: int = 1,
                 first_pass_window: Optional[int] = None,
+                sampled_entries: bool = False,
+                entry_sample_size: int = 1024,
                 logger=None,
                 timer: Optional[timing.Timer] = None,
                 ) -> Tuple[NeighborGraph, int]:
@@ -296,6 +315,12 @@ def build_graph(data: VectorDataset,
     ``first_pass_window``: optional smaller search window for pass 1 — the
     alpha=1.0 pass only lays down an initial graph that pass 2 rewires, so
     a cheaper pass-1 search trades little quality for proportional time.
+
+    ``sampled_entries``: start each node's build search from its nearest
+    row in a resident ``entry_sample_size``-row sample instead of the
+    medioid (entry.py; the serving lever applied to build rounds).  Pass 1
+    masks sample rows not yet inserted so searches never enter edge-less
+    nodes.
     """
     distance = dist_ops.as_distance(distance)
     params = params.resolved(distance)
@@ -308,6 +333,13 @@ def build_graph(data: VectorDataset,
         entry = entry_point if entry_point is not None else \
             compute_medioid(data)
     entry_ids = jnp.asarray([entry], dtype=jnp.int32)
+
+    sampler = None
+    sample_ids_host = None
+    if sampled_entries:
+        from .entry import build_sampler
+        sampler = build_sampler(data, entry_sample_size, seed=0)
+        sample_ids_host = np.asarray(sampler.ids)
 
     graph = NeighborGraph.empty(n, r)
     b = batch_size if batch_size is not None else default_batch_size(n)
@@ -331,10 +363,14 @@ def build_graph(data: VectorDataset,
                 ids = np.arange(start, start + b, dtype=np.int32)
                 valid = ids < n
                 ids = np.minimum(ids, n - 1)
+                # pass 1 inserts in id order: sample rows >= start have no
+                # adjacency yet and must not be selected as entries
+                sample_invalid = None if sampler is None else jnp.asarray(
+                    sample_ids_host >= (n if pass_idx else start))
                 # fully-fused async round: no host sync — rounds pipeline
                 graph, dropped = build_round(
                     graph, data, jnp.asarray(ids), jnp.asarray(valid),
-                    entry_ids,
+                    entry_ids, sampler, sample_invalid,
                     window=window, capacity=capacity, max_iters=max_iters,
                     distance=distance, pool_size=pool_size,
                     gen_alpha=float(params.alpha),

@@ -483,7 +483,7 @@ class MutableVamanaIndex:
                         1e-30)
 
     SCHEMA = "dynamic_vamana_index_parameters"
-    VERSION = saveload.Version(0, 0, 1)
+    VERSION = saveload.Version(0, 0, 2)  # 0.0.2: optional entry_sampler
 
     def save(self, config_dir: str) -> None:
         """Persist index + slot state + translation (the reference requires
@@ -503,6 +503,10 @@ class MutableVamanaIndex:
             "external_ids": ctx.save_array(ext),
             "build_parameters": __import__("dataclasses").asdict(
                 self.parameters),
+            "entry_sampler": None if self._sampler_cfg is None else {
+                "n_samples": self._sampler_cfg[0],
+                "n_entries": self._sampler_cfg[1],
+                "seed": self._sampler_cfg[2]},
         })
         with open(os.path.join(config_dir, "dynamic_vamana_config.json"),
                   "w") as f:
@@ -550,6 +554,9 @@ class MutableVamanaIndex:
         obj._entry_sampler = None
         obj._sampler_cfg = None
         obj.tail_frac = 4
+        sampler_cfg = table.get("entry_sampler")
+        if sampler_cfg:
+            obj.enable_entry_sampler(**sampler_cfg)
         return obj
 
     def _reset_entry_point(self) -> None:

@@ -193,7 +193,7 @@ class VamanaIndex:
     """Static (non-mutable) Vamana graph index."""
 
     SCHEMA = "vamana_index_parameters"
-    VERSION = saveload.Version(0, 0, 1)
+    VERSION = saveload.Version(0, 0, 2)  # 0.0.2: optional entry_sampler
 
     def __init__(self,
                  graph: NeighborGraph,
@@ -216,6 +216,7 @@ class VamanaIndex:
         self._packed = None  # packed neighborhoods (enable_packed_serving)
         self._entry_sampler = None   # per-query entries (enable_entry_sampler)
         self._entry_n = 1
+        self._entry_cfg = None       # persisted sampler config (save/assemble)
         # lockstep tail compaction (search.py greedy_search tail_frac):
         # finish each batch's stragglers on a 1/4-size compacted slice
         self.tail_frac = 4
@@ -232,6 +233,8 @@ class VamanaIndex:
               pop_width: int = 4,
               build_tail_frac: int = 4,
               first_pass_window: Optional[int] = None,
+              sampled_entries: bool = False,
+              entry_sample_size: int = 1024,
               timer: Optional[timing.Timer] = None,
               logger=None,
               **kwargs) -> "VamanaIndex":
@@ -251,9 +254,17 @@ class VamanaIndex:
             build_data, parameters, distance, batch_size=batch_size,
             pop_width=pop_width, tail_frac=build_tail_frac,
             first_pass_window=first_pass_window,
+            sampled_entries=sampled_entries,
+            entry_sample_size=entry_sample_size,
             timer=timer, logger=logger)
-        return cls(graph, data, entry, distance,
-                   build_parameters=parameters, logger=logger, **kwargs)
+        index = cls(graph, data, entry, distance,
+                    build_parameters=parameters, logger=logger, **kwargs)
+        if sampled_entries:
+            # a sampled-entries graph keeps no medioid approach path — it
+            # is only navigable with per-query sampled entries, so the
+            # sampler is mandatory (and persisted by save/assemble)
+            index.enable_entry_sampler(n_samples=entry_sample_size)
+        return index
 
     # -- properties -------------------------------------------------------------
     @property
@@ -324,10 +335,13 @@ class VamanaIndex:
         from .entry import build_sampler
         self._entry_sampler = build_sampler(self.data, n_samples, seed=seed)
         self._entry_n = n_entries
+        self._entry_cfg = {"n_samples": n_samples, "n_entries": n_entries,
+                           "seed": seed}
 
     def disable_entry_sampler(self) -> None:
         self._entry_sampler = None
         self._entry_n = 1
+        self._entry_cfg = None
 
     # -- search -------------------------------------------------------------------
     def search(self, queries, k: int,
@@ -444,6 +458,9 @@ class VamanaIndex:
             "distance": self.distance.value,
             "build_parameters": build_table,
             "search_parameters": self._search_parameters.save_table(),
+            # sampled-entries state survives reload: a graph built with
+            # sampled_entries=True is only navigable with the sampler on
+            "entry_sampler": self._entry_cfg,
         })
         with open(os.path.join(config_dir, CONFIG_FILENAME), "w") as f:
             json.dump(table, f, indent=2)
@@ -481,6 +498,10 @@ class VamanaIndex:
             else None)
         search_params = VamanaSearchParameters.from_table(
             table["search_parameters"])
-        return cls(graph, data, table["entry_point"], table["distance"],
-                   build_parameters=build_params,
-                   search_parameters=search_params, **kwargs)
+        index = cls(graph, data, table["entry_point"], table["distance"],
+                    build_parameters=build_params,
+                    search_parameters=search_params, **kwargs)
+        sampler_cfg = table.get("entry_sampler")
+        if sampler_cfg:
+            index.enable_entry_sampler(**sampler_cfg)
+        return index

@@ -187,19 +187,29 @@ def sharded_ivf_search(mesh: Mesh, index, queries: jax.Array, k: int, *,
 def dp_greedy_search(mesh: Mesh, graph: NeighborGraph, data: VectorDataset,
                      queries: jax.Array, entry_ids: jax.Array, *,
                      window: int, capacity: int, max_iters: int,
-                     distance, axis: str = "dp"):
+                     distance, axis: str = "dp", sampler=None,
+                     n_entries: int = 1):
     """Greedy search with the query batch sharded across ``axis`` and the
     index replicated — each device walks its own queries with no collective
-    traffic (the scalable serving configuration)."""
+    traffic (the scalable serving configuration).
+
+    ``sampler``: optional :class:`~..index.vamana.entry.EntrySampler`
+    (replicated; tiny).  Per-query entry selection shards along the query
+    axis with everything else — no extra collectives."""
+    distance = dist_ops.as_distance(distance)
     rep = NamedSharding(mesh, P())
     qsh = NamedSharding(mesh, P(axis, None))
     graph = jax.device_put(graph, rep)
     data = jax.device_put(data, rep)
     queries = jax.device_put(queries, qsh)
-    entry_ids = jax.device_put(entry_ids, rep)
+    if sampler is not None:
+        sampler = jax.device_put(sampler, rep)
+        entry_ids = sampler.select(distance, queries, n_entries=n_entries)
+    else:
+        entry_ids = jax.device_put(entry_ids, rep)
     out = search_mod.greedy_search(
         graph, data, queries, entry_ids, window=window, capacity=capacity,
-        max_iters=max_iters, distance=dist_ops.as_distance(distance))
+        max_iters=max_iters, distance=distance)
     return out
 
 
@@ -641,21 +651,34 @@ def sharded_greedy_search(mesh: Mesh, graph: NeighborGraph,
                           data, queries, entry_ids, *,
                           window: int, capacity: int, max_iters: int,
                           distance, pool_size: int = 0, pop_width: int = 4,
-                          axis: str = "shard"):
+                          axis: str = "shard", sampler=None,
+                          n_entries: int = 1):
     """Greedy search over a row-sharded graph + dataset (replicated queries).
 
     Bit-identical to the single-chip search: the per-iteration gathers
     become (local gather, pmax/pmin merge) pairs, the beam state stays
     replicated.  Memory per device is O(n / n_shards).  ``data`` may be a
     plain ``VectorDataset`` or a compressed ``LVQDataset`` / ``SQDataset``
-    (codes sharded, decode local — see :func:`shard_any_dataset`)."""
+    (codes sharded, decode local — see :func:`shard_any_dataset`).
+
+    ``sampler``: optional :class:`~..index.vamana.entry.EntrySampler` for
+    per-query entries.  The sample is tiny (S rows), so it stays replicated
+    and each device selects redundantly — no collective traffic added."""
     distance = dist_ops.as_distance(distance)
     adjacency, degrees, g_meta = shard_graph(graph, mesh, axis)
     d_arrays, d_specs, make_view = shard_any_dataset(data, mesh, axis)
+    nd = len(d_arrays)
+    s_arrays = () if sampler is None else (
+        sampler.vectors, sampler.norms_sq, sampler.ids)
+    s_specs = () if sampler is None else (P(), P(), P())
 
-    def local(adj, deg, q, eids, *blocks):
+    def local(adj, deg, q, eids, *rest):
         gview = ShardedGraphShard(adj, deg, **g_meta)
-        dview = make_view(*blocks)
+        dview = make_view(*rest[:nd])
+        if sampler is not None:
+            from ..index.vamana.entry import EntrySampler
+            s = EntrySampler(*rest[nd:])
+            eids = s.select(distance, q, n_entries=n_entries)
         return search_mod.greedy_search(
             gview, dview, q, eids, window=window, capacity=capacity,
             max_iters=max_iters, distance=distance, pool_size=pool_size,
@@ -663,9 +686,10 @@ def sharded_greedy_search(mesh: Mesh, graph: NeighborGraph,
 
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(), P(), *d_specs),
+        in_specs=(P(axis, None), P(axis), P(), P(), *d_specs, *s_specs),
         out_specs=P(), check_vma=False)
-    return jax.jit(fn)(adjacency, degrees, queries, entry_ids, *d_arrays)
+    return jax.jit(fn)(adjacency, degrees, queries, entry_ids,
+                       *d_arrays, *s_arrays)
 
 
 def sharded_build_graph(mesh: Mesh, data, params, distance, *,

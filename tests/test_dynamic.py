@@ -184,6 +184,17 @@ class TestMutableVamana:
         index.disable_entry_sampler()
         assert index._entry_sampler is None
 
+    def test_sampler_cfg_persists(self, tmp_path, pool):
+        data, queries = pool
+        params = VamanaBuildParameters(graph_max_degree=16, window_size=32)
+        index = MutableVamanaIndex(params, data[:300], np.arange(300), "l2")
+        index.enable_entry_sampler(n_samples=64, seed=5)
+        index.save(str(tmp_path / "d"))
+        loaded = MutableVamanaIndex.assemble(str(tmp_path / "d"))
+        assert loaded._sampler_cfg == (64, 1, 5)
+        res = loaded.search(queries[:8], 5)
+        assert res.ids.shape == (8, 5) and (res.ids >= 0).all()
+
     def test_entry_point_survives_deletion(self, pool):
         data, queries = pool
         params = VamanaBuildParameters(graph_max_degree=16, window_size=32)

@@ -141,6 +141,30 @@ class TestShardedGraph:
             np.where(fin, np.asarray(out.keys), 0),
             np.where(fin, np.asarray(ref.keys), 0), rtol=1e-5)
 
+    def test_search_with_sampler_bit_identical(self, eight_devices):
+        """Per-query sampled entries over a sharded graph: the replicated
+        sample selects the same entries on every device, so results are
+        bit-identical to single-chip greedy with the same selection."""
+        from scalablevectorsearch_tpu.index.vamana.entry import build_sampler
+        x, data, graph, queries = self._index()
+        mesh = mesh_mod.make_mesh(8, axis_name="shard")
+        kw = dict(window=16, capacity=16, max_iters=40, distance="l2")
+        sampler = build_sampler(data, 64, seed=2)
+        eids = sampler.select("l2", queries)
+        ref = greedy_search(graph, data, queries, eids, **kw)
+        out = sharded.sharded_greedy_search(mesh, graph, data, queries,
+                                            jnp.asarray([0], jnp.int32),
+                                            sampler=sampler, **kw)
+        np.testing.assert_array_equal(np.asarray(ref.ids),
+                                      np.asarray(out.ids))
+        # dp path: sampler shards along queries with no collectives
+        mesh_dp = mesh_mod.make_mesh(8, axis_name="dp")
+        out_dp = sharded.dp_greedy_search(mesh_dp, graph, data, queries,
+                                          jnp.asarray([0], jnp.int32),
+                                          sampler=sampler, axis="dp", **kw)
+        np.testing.assert_array_equal(np.asarray(ref.ids),
+                                      np.asarray(out_dp.ids))
+
     def test_search_with_pool_tracking(self, eight_devices):
         x, data, graph, queries = self._index()
         eids = jnp.asarray([0], jnp.int32)

@@ -369,6 +369,45 @@ class TestEntrySampler:
         back = k_recall_at_n(gt, built_index.search(queries, 10))
         assert back == base
 
+    def test_sampler_persists_through_save(self, tmp_path, built_index,
+                                           small_dataset):
+        """The sampler config survives save/assemble (a sampled-entries
+        graph is only navigable with the sampler on, so reloads must
+        re-enable it)."""
+        data, queries = small_dataset
+        built_index.enable_entry_sampler(n_samples=128, seed=3)
+        built_index.save(str(tmp_path / "s"))
+        from scalablevectorsearch_tpu.index.vamana.index import VamanaIndex
+        loaded = VamanaIndex.assemble(str(tmp_path / "s"))
+        assert loaded._entry_cfg == {"n_samples": 128, "n_entries": 1,
+                                     "seed": 3}
+        np.testing.assert_array_equal(loaded.search(queries[:16], 5).ids,
+                                      built_index.search(queries[:16], 5).ids)
+        # plain saves stay sampler-free on reload
+        built_index.disable_entry_sampler()
+        built_index.save(str(tmp_path / "p"))
+        assert VamanaIndex.assemble(str(tmp_path / "p"))._entry_sampler \
+            is None
+
+    def test_sampled_entries_build(self, small_dataset):
+        """Building with sampled_entries=True auto-enables the sampler
+        (the graph keeps no medioid approach path) and matches the
+        medioid-built graph's recall."""
+        data, queries = small_dataset
+        from scalablevectorsearch_tpu.index.vamana.index import VamanaIndex
+        params = VamanaBuildParameters(graph_max_degree=16, window_size=32,
+                                       alpha=1.1)
+        gt = exhaustive_search(data, queries, 10)
+        base = VamanaIndex.build(params, data, "l2")
+        base.search_window_size = 16
+        idx = VamanaIndex.build(params, data, "l2", sampled_entries=True,
+                                entry_sample_size=256)
+        assert idx._entry_sampler is not None     # mandatory, auto-enabled
+        idx.search_window_size = 16
+        r_base = k_recall_at_n(gt, base.search(queries, 10))
+        r_sampled = k_recall_at_n(gt, idx.search(queries, 10))
+        assert r_sampled >= r_base - 0.03, (r_sampled, r_base)
+
     def test_sampler_selects_nearest(self, rng):
         """EntrySampler.select returns the key-nearest sampled id per query
         for every metric; -1 slots are never selected."""
