@@ -122,9 +122,19 @@ class BatchIterator:
 
         batch = dt.pad_matrix(self._query, n_pad=8,
                               d_pad=index.data.padded_dim)
+        q = jnp.asarray(batch)
+        # honor the index's entry sampler: a sampled-entries-built graph
+        # keeps no medioid approach path, so searching from entry_point
+        # would strand (entry.py); dynamic indexes rebuild lazily
+        if getattr(index, "_sampler_cfg", None) is not None:
+            sampler, _ = index._ensure_sampler()
+        else:
+            sampler = getattr(index, "_entry_sampler", None)
+        entry_ids = (sampler.select(index.distance, q)
+                     if sampler is not None
+                     else jnp.asarray([index.entry_point], dtype=jnp.int32))
         out = search_mod.greedy_search(
-            index.graph, index.data, jnp.asarray(batch),
-            jnp.asarray([index.entry_point], dtype=jnp.int32),
+            index.graph, index.data, q, entry_ids,
             window=window, capacity=capacity,
             max_iters=search_mod.default_max_iters(window),
             distance=index.distance, pool_size=pool)

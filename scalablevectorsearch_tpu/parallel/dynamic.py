@@ -84,6 +84,8 @@ class ShardedMutableVamanaIndex:
         self.translator.insert(np.asarray(external_ids, dtype=np.int64),
                                np.arange(n, dtype=np.int64))
         self._search_parameters = VamanaSearchParameters()
+        self._sampler_cfg = None     # per-query entries (enable_entry_sampler)
+        self._entry_sampler = None
 
         # lay the dataset out sharded at blocked capacity
         host = np.zeros((cap, self.padded_dim), dtype=np.float32)
@@ -164,6 +166,45 @@ class ShardedMutableVamanaIndex:
     @search_window_size.setter
     def search_window_size(self, w: int) -> None:
         self._search_parameters = self._search_parameters.with_window(w)
+
+    # -- per-query entry selection ---------------------------------------------
+    def enable_entry_sampler(self, n_samples: int = 1024,
+                             n_entries: int = 1, seed: int = 0) -> None:
+        """Per-query entries from a replicated sample of the LIVE slots
+        (entry.py).  The sample is tiny, so it is gathered once from the
+        sharded rows and replicated; every mutation invalidates it (slot
+        reuse repoints ids) and it is rebuilt lazily on the next search."""
+        self._sampler_cfg = (n_samples, n_entries, seed)
+        self._entry_sampler = None
+
+    def disable_entry_sampler(self) -> None:
+        self._sampler_cfg = None
+        self._entry_sampler = None
+
+    def _ensure_sampler(self):
+        cfg = self._sampler_cfg
+        if cfg is None:
+            return None, 1
+        if self._entry_sampler is None:
+            from ..index.vamana.entry import EntrySampler
+            n_samples, _n_entries, seed = cfg
+            alive = np.nonzero(self.status == SLOT_VALID)[0]
+            rng = np.random.default_rng(seed)
+            size = min(n_samples, alive.size)
+            ids = rng.choice(alive, size=size, replace=False).astype(
+                np.int32) if size else np.asarray([self.entry_point],
+                                                  dtype=np.int32)
+            rep = NamedSharding(self.mesh, P())
+            dev_ids = jax.device_put(jnp.asarray(ids), rep)
+            vecs, nrms = jax.jit(lambda v, n, i: (v[i], n[i]))(
+                self.vectors, self.norms_sq, dev_ids)
+            self._entry_sampler = EntrySampler(
+                vectors=jax.device_put(vecs, rep),
+                norms_sq=jax.device_put(nrms, rep), ids=dev_ids)
+        return self._entry_sampler, cfg[1]
+
+    def _invalidate_sampler(self) -> None:
+        self._entry_sampler = None
 
     def all_ids(self) -> np.ndarray:
         return np.sort(self.translator.all_external_ids())
@@ -292,11 +333,20 @@ class ShardedMutableVamanaIndex:
         axis = self.axis
         g_meta, d_meta = self._views_meta()
 
+        sampler, n_entries = self._ensure_sampler()
+        s_arrays = () if sampler is None else (
+            sampler.vectors, sampler.norms_sq, sampler.ids)
+        s_specs = () if sampler is None else (P(), P(), P())
+
         def builder():
-            def local(adj, deg, vec, nrm, q, eids, deleted):
+            def local(adj, deg, vec, nrm, q, eids, deleted, *s_rest):
                 q = q.astype(jnp.float32)   # pre-greedy cast, as single-chip
                 gview = sharded.ShardedGraphShard(adj, deg, **g_meta)
                 dview = sharded.ShardedDataShard(vec, nrm, **d_meta)
+                if s_rest:
+                    from ..index.vamana.entry import EntrySampler
+                    eids = EntrySampler(*s_rest).select(
+                        self.distance, q, n_entries=n_entries)
                 out = search_mod.greedy_search(
                     gview, dview, q, eids, window=window, capacity=capacity,
                     max_iters=max_iters, distance=self.distance)
@@ -306,14 +356,17 @@ class ShardedMutableVamanaIndex:
             return jax.jit(jax.shard_map(
                 local, mesh=self.mesh,
                 in_specs=(P(axis, None), P(axis), P(axis, None), P(axis),
-                          P(), P(), P()),
+                          P(), P(), P(), *s_specs),
                 out_specs=(P(), P()), check_vma=False))
 
         fn = self._fn(("search", self.capacity, rows, k, window, capacity,
-                       max_iters), builder)
+                       max_iters, sampler is not None,
+                       None if sampler is None else
+                       tuple(sampler.ids.shape) + (n_entries,)), builder)
         entry_ids = jnp.asarray([self.entry_point], dtype=jnp.int32)
         ids, vals = fn(self.adjacency, self.degrees, self.vectors,
-                       self.norms_sq, q, entry_ids, self.deleted_mask)
+                       self.norms_sq, q, entry_ids, self.deleted_mask,
+                       *s_arrays)
         slots = np.asarray(ids)[:nq]
         out_ids = np.where(slots >= 0, self.translator.to_external(slots),
                            -1)
@@ -379,6 +432,7 @@ class ShardedMutableVamanaIndex:
             self.deleted_mask, jnp.asarray(slot_arr), jnp.asarray(rows),
             jnp.asarray(row_norms))
         self.status[slots] = SLOT_VALID
+        self._invalidate_sampler()
         self._build_over(slots)
         return slots
 
@@ -388,6 +442,7 @@ class ShardedMutableVamanaIndex:
         self.status[slots] = SLOT_DELETED
         self.deleted_mask = self.deleted_mask.at[jnp.asarray(slots)].set(
             True)
+        self._invalidate_sampler()
         if self.status[self.entry_point] != SLOT_VALID:
             self.entry_point = self._sharded_medioid()
 
@@ -398,6 +453,7 @@ class ShardedMutableVamanaIndex:
         deleted = np.nonzero(self.status == SLOT_DELETED)[0]
         if deleted.size == 0:
             return
+        self._invalidate_sampler()
         axis = self.axis
         valid_mask = jnp.asarray(self.status == SLOT_VALID)
         g_meta, d_meta = self._views_meta()
@@ -498,6 +554,7 @@ class ShardedMutableVamanaIndex:
         occupied = self.status != SLOT_EMPTY
         if not occupied.any() or occupied.all():
             return
+        self._invalidate_sampler()
         old_to_new = np.full(cap, -1, dtype=np.int32)
         perm = np.arange(cap, dtype=np.int32)       # new slot -> old slot
         new_status = np.full(cap, SLOT_EMPTY, dtype=np.int8)
@@ -586,6 +643,7 @@ class ShardedMutableVamanaIndex:
         g = new_cap - cap
         if g <= 0:
             return
+        self._invalidate_sampler()
         row_sh = NamedSharding(self.mesh, P(self.axis, None))
         vec_sh = NamedSharding(self.mesh, P(self.axis))
         self.adjacency = jax.device_put(
@@ -648,6 +706,8 @@ class ShardedMutableVamanaIndex:
         obj.translator = index.translator.copy()
         obj.entry_point = index.entry_point
         obj._search_parameters = index.search_parameters
+        obj._sampler_cfg = getattr(index, "_sampler_cfg", None)
+        obj._entry_sampler = None
         return obj
 
     def to_single_chip(self):

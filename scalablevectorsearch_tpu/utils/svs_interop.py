@@ -191,6 +191,15 @@ def save_reference_vamana(index, config_dir: str,
     data; see module docstring for the schemas)."""
     import uuid as _uuid
 
+    if getattr(index, "_entry_cfg", None) is not None:
+        import warnings
+        warnings.warn(
+            "exporting an index with the entry sampler enabled: the "
+            "reference has no per-query entry selection, and a graph built "
+            "with sampled_entries=True keeps no medioid approach path — "
+            "the reference will search it from the medioid with severely "
+            "degraded recall", stacklevel=2)
+
     graph_dir = graph_dir or config_dir
     data_dir = data_dir or config_dir
     adj = index.graph.to_numpy()                       # (n, R), -1 padded

@@ -86,6 +86,22 @@ class TestBatchIterator:
         assert not np.array_equal(first, other)
 
 
+class TestBatchIteratorWithSampler:
+    def test_iterator_honors_entry_sampler(self, small_dataset):
+        """A sampled-entries-built graph keeps no medioid approach path;
+        the iterator must seed from the index's sampler (iterator.py)."""
+        data, queries = small_dataset
+        params = VamanaBuildParameters(graph_max_degree=24, window_size=48)
+        index = VamanaIndex.build(params, data, "l2", batch_size=256,
+                                  sampled_entries=True,
+                                  entry_sample_size=256)
+        gt = svt.exhaustive_search(data, queries[:1], 10)
+        it = BatchIterator(index, queries[0], batch_size=10)
+        res = it.next()
+        recall = svt.k_recall_at_n(gt, res)
+        assert recall >= 0.8, recall
+
+
 class TestCalibrate:
     def test_hits_target(self, built):
         index, data, queries, gt = built

@@ -367,6 +367,40 @@ class TestShardedDynamic:
                            for a, b in zip(gt2_ext, res.ids)])
         assert overlap >= 0.80, overlap
 
+    def test_entry_sampler_tracks_mutations(self, eight_devices):
+        """Sharded dynamic sampler: replicated sample of live slots,
+        invalidated by every mutation, never yields deleted ids."""
+        from scalablevectorsearch_tpu.parallel.dynamic import (
+            ShardedMutableVamanaIndex)
+        data, queries = svt.generate_test_dataset(900, 24, 24, seed=17)
+        mesh = mesh_mod.make_mesh(8, axis_name="shard")
+        idx = ShardedMutableVamanaIndex(
+            self._params(), data[:800], np.arange(800), "l2", mesh)
+        gt = svt.exhaustive_search(data[:800], queries, 5)
+        base = svt.k_recall_at_n(gt, idx.search(queries, 5))
+        idx.enable_entry_sampler(n_samples=128, seed=0)
+        rec = svt.k_recall_at_n(gt, idx.search(queries, 5))
+        assert idx._entry_sampler is not None
+        assert rec >= base - 0.05, (rec, base)
+        sampled = np.asarray(idx._entry_sampler.ids)
+        assert (idx.status[sampled] == 1).all()   # live slots only
+
+        idx.add_points(data[800:900], np.arange(2000, 2100))
+        assert idx._entry_sampler is None          # invalidated
+        idx.delete_points(np.arange(0, 100))
+        res = idx.search(queries, 5)
+        assert idx._entry_sampler is not None      # lazily rebuilt
+        assert not np.isin(res.ids, np.arange(0, 100)).any()
+        idx.consolidate()
+        assert idx._entry_sampler is None
+        idx.compact()
+        res2 = idx.search(queries, 5)
+        assert (res2.ids >= 0).all()
+        sampled = np.asarray(idx._entry_sampler.ids)
+        assert (idx.status[sampled] == 1).all()
+        idx.disable_entry_sampler()
+        assert idx._entry_sampler is None
+
     def test_roundtrip_to_single_chip(self, eight_devices):
         from scalablevectorsearch_tpu.parallel.dynamic import (
             ShardedMutableVamanaIndex)
