@@ -117,6 +117,14 @@ class MultiMutableVamanaIndex:
     def search_window_size(self, w: int) -> None:
         self._inner.search_window_size = w
 
+    def enable_entry_sampler(self, n_samples: int = 1024,
+                             n_entries: int = 1, seed: int = 0) -> None:
+        """Per-query sampled entries on the inner index (entry.py)."""
+        self._inner.enable_entry_sampler(n_samples, n_entries, seed)
+
+    def disable_entry_sampler(self) -> None:
+        self._inner.disable_entry_sampler()
+
     def all_labels(self) -> np.ndarray:
         return np.sort(np.fromiter(self._label_counts.keys(), dtype=np.int64))
 

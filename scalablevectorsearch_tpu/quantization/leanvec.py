@@ -150,6 +150,16 @@ class LeanVecVamana:
     def search_window_size(self, w: int) -> None:
         self._index.search_window_size = w
 
+    def enable_entry_sampler(self, n_samples: int = 1024,
+                             n_entries: int = 1, seed: int = 0) -> None:
+        """Per-query sampled entries on the reduced-dim primary (entry.py);
+        selection happens on the projected queries inside the fused
+        dispatch, so the sample and the beam live in the same space."""
+        self._index.enable_entry_sampler(n_samples, n_entries, seed)
+
+    def disable_entry_sampler(self) -> None:
+        self._index.disable_entry_sampler()
+
     def search(self, queries, k: int) -> QueryResult:
         queries = np.asarray(queries)
         if queries.ndim == 1:

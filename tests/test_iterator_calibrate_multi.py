@@ -155,6 +155,13 @@ class TestMultiVector:
         for row in res.ids:
             live = row[row >= 0]
             assert len(np.unique(live)) == len(live)  # labels unique
+        # sampler delegates to the inner index; dedup still holds
+        index.enable_entry_sampler(n_samples=128, seed=0)
+        res2 = index.search(queries[:16], 10)
+        for row in res2.ids:
+            live = row[row >= 0]
+            assert len(np.unique(live)) == len(live)
+        index.disable_entry_sampler()
 
     def test_add_delete_by_label(self, small_dataset):
         data, queries = small_dataset

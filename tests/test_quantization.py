@@ -283,6 +283,12 @@ class TestLeanVec:
         gt = svt.exhaustive_search(data, queries, 10)
         rec = svt.k_recall_at_n(gt, lvv.search(queries, 10))
         assert rec >= 0.9, rec
+        # sampler delegates to the reduced-dim primary (selection happens
+        # on the projected queries, same space as the beam)
+        lvv.enable_entry_sampler(n_samples=128, seed=0)
+        rec_s = svt.k_recall_at_n(gt, lvv.search(queries, 10))
+        assert rec_s >= rec - 0.05, (rec_s, rec)
+        lvv.disable_entry_sampler()
 
     def test_leanvec_save_assemble(self, tmp_path, small_dataset):
         from scalablevectorsearch_tpu.quantization.leanvec import (
