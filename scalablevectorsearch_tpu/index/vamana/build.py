@@ -303,7 +303,7 @@ def build_graph(data: VectorDataset,
                 tail_frac: int = 1,
                 first_pass_window: Optional[int] = None,
                 sampled_entries: bool = False,
-                entry_sample_size: int = 1024,
+                entry_sample_size: Optional[int] = None,
                 logger=None,
                 timer: Optional[timing.Timer] = None,
                 ) -> Tuple[NeighborGraph, int]:

@@ -215,11 +215,12 @@ class MutableVamanaIndex:
         self._packed_dtype = None
 
     # -- per-query entry selection ---------------------------------------------
-    def enable_entry_sampler(self, n_samples: int = 1024,
+    def enable_entry_sampler(self, n_samples: Optional[int] = None,
                              n_entries: int = 1, seed: int = 0) -> None:
         """Per-query entry selection from a resident sample of the LIVE
         slots (see index.py ``VamanaIndex.enable_entry_sampler`` and
-        entry.py).  Every mutation invalidates the sample — slot reuse can
+        entry.py; ``None`` auto-scales with the live count at each
+        rebuild).  Every mutation invalidates the sample — slot reuse can
         silently repoint a sampled id at a different vector, and
         consolidation clears deleted rows' adjacency (a sampled entry with
         no out-edges strands its queries) — so it is rebuilt lazily on the
@@ -236,9 +237,11 @@ class MutableVamanaIndex:
         if cfg is None:
             return None, 1
         if self._entry_sampler is None:
-            from .entry import build_sampler
+            from .entry import auto_samples, build_sampler
             n_samples, n_entries, seed = cfg
             alive = np.nonzero(self.status == SLOT_VALID)[0]
+            if n_samples is None:
+                n_samples = auto_samples(alive.size)
             rng = np.random.default_rng(seed)
             size = min(n_samples, alive.size)
             ids = rng.choice(alive, size=size, replace=False) \

@@ -20,9 +20,16 @@ recall 0.9238 at 9.5 iterations and ~3x the device-level QPS.  Recall at
 equal window only goes UP (w=16: 0.9535 vs 0.8661) because the beam spends
 its slots in the right neighborhood instead of on the approach path.
 
-S=1024 is the measured sweet spot: 4096/16384 samples bought no recall at
-equal window (the graph walk covers the residual distance in ~1 hop
-either way), and E>1 entries per query only helped marginally at w=12.
+The sample size must scale with the dataset: the selection matmul is
+effectively free on the MXU, but a sample that under-covers the dataset's
+cluster structure strands queries in far-away regions (measured 10M x 96,
+~19.5k clusters: S=1024 covers ~5% of clusters and recall collapses to
+0.46 @ w=32 where the medioid entry gives 0.88, and S=65536 gives 0.9666
+@ 2.7x the medioid QPS).  ``n_samples=None`` therefore auto-scales as
+``clip(n // 128, 1024, 65536)`` — at 100k that is the measured S=1024
+sweet spot (4096/16384 bought no recall there), at 10M the measured
+S=65536 optimum; the cap bounds the (B, S) key panel the select
+materializes.  E>1 entries per query only helped marginally at w=12.
 """
 
 from __future__ import annotations
@@ -38,6 +45,20 @@ import numpy as np
 from ...ops import distance as dist_ops
 
 DEFAULT_SAMPLES = 1024
+MAX_SAMPLES = 65536
+
+
+def auto_samples(n: int) -> int:
+    """Scale-aware default sample size: ~n/128 rows, floored at the 100k
+    sweet spot and capped to bound the (B, S) selection panel.
+
+    Both ends are measured (PERF.md round-3 sampler-at-scale): 100k wants
+    S=1024 (larger buys nothing), 10M wants the full 65536 cap —
+    S=65536 served 0.9666 @ 42.8k QPS (w=20) where S=1024 collapsed to
+    0.46 and the medioid entry gave 0.9225 @ 15.7k.  QPS *rises* with S
+    at scale: starting in the right cluster saves more iterations than
+    the bigger select matmul costs."""
+    return int(min(max(DEFAULT_SAMPLES, n // 128), MAX_SAMPLES))
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -80,16 +101,19 @@ class EntrySampler:
         return self.ids[idx]
 
 
-def build_sampler(data, n_samples: int = DEFAULT_SAMPLES,
+def build_sampler(data, n_samples: Optional[int] = None,
                   *, ids: Optional[np.ndarray] = None,
                   seed: int = 0) -> EntrySampler:
-    """Sample ``n_samples`` rows uniformly from a dataset-protocol object.
+    """Sample ``n_samples`` rows uniformly from a dataset-protocol object
+    (``None`` = :func:`auto_samples`, scaled to the dataset size).
 
     ``ids`` overrides the uniform sample (callers with liveness knowledge —
     the dynamic index — pass their own alive slot ids).  The sample is
     decompressed to f32 once (``get_f32``), so compressed datasets select
     entries at full precision.
     """
+    if n_samples is None:
+        n_samples = auto_samples(data.n)
     if ids is None:
         n = data.n
         rng = np.random.default_rng(seed)

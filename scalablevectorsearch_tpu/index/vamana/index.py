@@ -234,7 +234,7 @@ class VamanaIndex:
               build_tail_frac: int = 4,
               first_pass_window: Optional[int] = None,
               sampled_entries: bool = False,
-              entry_sample_size: int = 1024,
+              entry_sample_size: Optional[int] = None,
               timer: Optional[timing.Timer] = None,
               logger=None,
               **kwargs) -> "VamanaIndex":
@@ -320,7 +320,7 @@ class VamanaIndex:
         self._packed = None
 
     # -- per-query entry selection -------------------------------------------------
-    def enable_entry_sampler(self, n_samples: int = 1024,
+    def enable_entry_sampler(self, n_samples: Optional[int] = None,
                              n_entries: int = 1, seed: int = 0) -> None:
         """Select each query's entry point from a resident dataset sample
         with one MXU matmul fused into the search dispatch (entry.py) —
@@ -328,11 +328,15 @@ class VamanaIndex:
         serving (measured ~3x fewer iterations at BETTER recall; the
         equal-recall window drops about 2x, e.g. 24 -> 12 at 100k).
 
-        Deterministic given ``seed``.  Results differ from medioid-entry
-        searches (usually for the better); calibrated windows should be
-        re-calibrated after toggling this.
+        ``n_samples=None`` auto-scales with the dataset size
+        (entry.auto_samples — an under-covering sample strands queries at
+        10M scale).  Deterministic given ``seed``.  Results differ from
+        medioid-entry searches (usually for the better); calibrated
+        windows should be re-calibrated after toggling this.
         """
-        from .entry import build_sampler
+        from .entry import auto_samples, build_sampler
+        if n_samples is None:
+            n_samples = auto_samples(self.data.n)
         self._entry_sampler = build_sampler(self.data, n_samples, seed=seed)
         self._entry_n = n_entries
         self._entry_cfg = {"n_samples": n_samples, "n_entries": n_entries,

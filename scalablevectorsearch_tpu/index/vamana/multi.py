@@ -117,7 +117,7 @@ class MultiMutableVamanaIndex:
     def search_window_size(self, w: int) -> None:
         self._inner.search_window_size = w
 
-    def enable_entry_sampler(self, n_samples: int = 1024,
+    def enable_entry_sampler(self, n_samples=None,
                              n_entries: int = 1, seed: int = 0) -> None:
         """Per-query sampled entries on the inner index (entry.py)."""
         self._inner.enable_entry_sampler(n_samples, n_entries, seed)

@@ -41,7 +41,7 @@ class DynamicVamana:
     def disable_packed_serving(self) -> None:
         self._index.disable_packed_serving()
 
-    def enable_entry_sampler(self, n_samples: int = 1024,
+    def enable_entry_sampler(self, n_samples=None,
                              n_entries: int = 1, seed: int = 0) -> None:
         """Per-query sampled entry points, rebuilt lazily after mutations
         (see MutableVamanaIndex.enable_entry_sampler and entry.py)."""

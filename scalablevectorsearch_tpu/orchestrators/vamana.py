@@ -62,7 +62,7 @@ class Vamana:
     def disable_packed_serving(self) -> None:
         self._index.disable_packed_serving()
 
-    def enable_entry_sampler(self, n_samples: int = 1024,
+    def enable_entry_sampler(self, n_samples=None,
                              n_entries: int = 1, seed: int = 0) -> None:
         """Per-query sampled entry points (see
         VamanaIndex.enable_entry_sampler and index/vamana/entry.py)."""

@@ -168,10 +168,11 @@ class ShardedMutableVamanaIndex:
         self._search_parameters = self._search_parameters.with_window(w)
 
     # -- per-query entry selection ---------------------------------------------
-    def enable_entry_sampler(self, n_samples: int = 1024,
+    def enable_entry_sampler(self, n_samples: Optional[int] = None,
                              n_entries: int = 1, seed: int = 0) -> None:
         """Per-query entries from a replicated sample of the LIVE slots
-        (entry.py).  The sample is tiny, so it is gathered once from the
+        (entry.py; ``None`` auto-scales with the live count at each
+        rebuild).  The sample is small, so it is gathered once from the
         sharded rows and replicated; every mutation invalidates it (slot
         reuse repoints ids) and it is rebuilt lazily on the next search."""
         self._sampler_cfg = (n_samples, n_entries, seed)
@@ -186,9 +187,11 @@ class ShardedMutableVamanaIndex:
         if cfg is None:
             return None, 1
         if self._entry_sampler is None:
-            from ..index.vamana.entry import EntrySampler
+            from ..index.vamana.entry import EntrySampler, auto_samples
             n_samples, _n_entries, seed = cfg
             alive = np.nonzero(self.status == SLOT_VALID)[0]
+            if n_samples is None:
+                n_samples = auto_samples(alive.size)
             rng = np.random.default_rng(seed)
             size = min(n_samples, alive.size)
             ids = rng.choice(alive, size=size, replace=False).astype(

@@ -150,7 +150,7 @@ class LeanVecVamana:
     def search_window_size(self, w: int) -> None:
         self._index.search_window_size = w
 
-    def enable_entry_sampler(self, n_samples: int = 1024,
+    def enable_entry_sampler(self, n_samples=None,
                              n_entries: int = 1, seed: int = 0) -> None:
         """Per-query sampled entries on the reduced-dim primary (entry.py);
         selection happens on the projected queries inside the fused

@@ -408,6 +408,16 @@ class TestEntrySampler:
         r_sampled = k_recall_at_n(gt, idx.search(queries, 10))
         assert r_sampled >= r_base - 0.03, (r_sampled, r_base)
 
+    def test_auto_sample_size(self):
+        """auto_samples hits the measured optima at both ends (PERF.md:
+        100k -> 1024, 10M -> 65536 cap) and is what n_samples=None uses."""
+        from scalablevectorsearch_tpu.index.vamana.entry import auto_samples
+        assert auto_samples(1_000) == 1024
+        assert auto_samples(100_000) == 1024
+        assert auto_samples(1_000_000) == 7812
+        assert auto_samples(10_000_000) == 65536
+        assert auto_samples(1_000_000_000) == 65536
+
     def test_sampler_selects_nearest(self, rng):
         """EntrySampler.select returns the key-nearest sampled id per query
         for every metric; -1 slots are never selected."""
