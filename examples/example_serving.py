@@ -27,12 +27,17 @@ def main():
     params = svt.VamanaBuildParameters(
         alpha=1.1, graph_max_degree=32, window_size=100,
         max_candidate_pool_size=300, prune_to=28)
-    index = svt.Vamana.build(params, data, svt.L2)
+    # sampled_entries: build searches start inside each node's region
+    # (~11% faster builds; the entry sampler is then auto-enabled —
+    # per-query entries from a resident sample, ~3x fewer lockstep
+    # iterations at better recall, entry.py)
+    index = svt.Vamana.build(params, data, svt.L2, sampled_entries=True)
 
     # packed neighborhoods: the HBM row gather is per-row limited on TPU, so
     # serving gathers r-fold fewer, larger rows (PERF.md)
-    index.index.enable_packed_serving()
-    index.search_window_size = 24
+    index.enable_packed_serving()
+    # sampled entries roughly halve the equal-recall window (24 -> 12)
+    index.search_window_size = 12
 
     res = index.search(queries, 10)  # warm the executable
     recall = svt.k_recall_at_n(gt, res)
