@@ -132,6 +132,13 @@ class TestLVQDataset:
         gt = svt.exhaustive_search(data, queries, 10)
         rec = svt.k_recall_at_n(gt, idx.search(queries, 10))
         assert rec >= 0.85
+        # sampler over compressed datasets: the sample decodes to f32
+        # once (entry.build_sampler uses get_f32), selection at full
+        # precision; recall must not regress
+        idx.enable_entry_sampler(n_samples=256, seed=0)
+        rec_s = svt.k_recall_at_n(gt, idx.search(queries, 10))
+        assert rec_s >= rec - 0.05, (rec_s, rec)
+        idx.disable_entry_sampler()
 
     @pytest.mark.parametrize("bits,res", [(8, 0), (4, 0), (8, 8)])
     def test_lvq_packed_serving_bit_identical(self, small_dataset, bits,

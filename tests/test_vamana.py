@@ -408,6 +408,40 @@ class TestEntrySampler:
         r_sampled = k_recall_at_n(gt, idx.search(queries, 10))
         assert r_sampled >= r_base - 0.03, (r_sampled, r_base)
 
+    def test_sampler_with_visited_set_and_cancel(self, built_index,
+                                                 small_dataset):
+        """The sampler composes with the visited filter and the cancel
+        hook (both thread through the same fused dispatch)."""
+        import dataclasses
+        from scalablevectorsearch_tpu.index.vamana.params import (
+            VamanaSearchParameters)
+        from scalablevectorsearch_tpu.lib.exceptions import SearchCancelled
+        data, queries = small_dataset
+        gt = exhaustive_search(data, queries, 10)
+        built_index.enable_entry_sampler(n_samples=128, seed=0)
+        sp = dataclasses.replace(
+            VamanaSearchParameters().with_window(16), visited_set=True)
+        res = built_index.search(queries, 10, parameters=sp)
+        assert k_recall_at_n(gt, res) >= 0.8
+        with pytest.raises(SearchCancelled):
+            built_index.search(queries, 10, cancel=lambda: True)
+        built_index.disable_entry_sampler()
+
+    def test_sampler_tiny_dataset(self):
+        """n < sample floor: the sample is just every row; results exact
+        enough for a connected tiny graph."""
+        from scalablevectorsearch_tpu.index.vamana.index import VamanaIndex
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(50, 16)).astype(np.float32)
+        idx = VamanaIndex.build(
+            VamanaBuildParameters(graph_max_degree=8, window_size=16),
+            x, "l2")
+        idx.enable_entry_sampler()
+        assert idx._entry_cfg["n_samples"] == 1024   # floor; clipped to n
+        assert int(idx._entry_sampler.ids.shape[0]) == 50
+        res = idx.search(x[:5], 1)
+        np.testing.assert_array_equal(res.ids[:, 0], np.arange(5))
+
     def test_auto_sample_size(self):
         """auto_samples hits the measured optima at both ends (PERF.md:
         100k -> 1024, 10M -> 65536 cap) and is what n_samples=None uses."""
