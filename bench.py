@@ -192,10 +192,10 @@ def main():
             and elapsed < budget_s / 2:
         data1, queries1 = svt.generate_test_dataset(1_000_000, 2000, dim,
                                                     seed=7)
-        # sampled entries: 1M w=20 measured 0.8981 @ 105.7k QPS (S=1024)
-        # and w=21 0.9059 @ 91.5k — the knee sits there, and the auto
-        # sample (7812 at 1M) can only push it lower, so sweep it finely
-        windows_1m = (18, 19, 20, 21, 22, 23, 24, 28, 32, 48) if sampler_on \
+        # sampled entries with the auto sample (7812 at 1M): w=20 measured
+        # recall 0.9677 @ ~100k QPS (S=1024 gave 0.8981 there) — the 0.9
+        # knee sits well below, so sweep from w=12
+        windows_1m = (12, 13, 14, 15, 16, 18, 20, 24, 32) if sampler_on \
             else (24, 32, 48, 64)
         scale_1m = _build_and_serve(data1, queries1, k, alpha,
                                     windows_1m, "1M")
