@@ -96,7 +96,7 @@ def _build_and_serve(data, queries, k, alpha, windows, label):
               file=sys.stderr, flush=True)
 
     # per-query sampled entry points (auto-enabled by the sampled build):
-    # one MXU matmul vs a resident 1024-row sample replaces the
+    # one MXU matmul vs a resident auto-scaled sample replaces the
     # medioid-to-neighborhood walk — ~3x fewer lockstep iterations at
     # BETTER recall (entry.py; measured 100k: medioid w=24 0.903 @ 27.5
     # iters vs sampled w=12 0.924 @ 9.5 iters)

@@ -695,7 +695,8 @@ def sharded_greedy_search(mesh: Mesh, graph: NeighborGraph,
 def sharded_build_graph(mesh: Mesh, data, params, distance, *,
                         axis: str = "shard", batch_size=None,
                         prune_chunk: int = 128, pop_width: int = 4,
-                        entry_point=None):
+                        entry_point=None, sampled_entries: bool = False,
+                        entry_sample_size=None):
     """Full Vamana build with graph rows + vectors sharded across the mesh.
 
     Runs the unchanged fused build round (index/vamana/build.py) over shard
@@ -720,6 +721,16 @@ def sharded_build_graph(mesh: Mesh, data, params, distance, *,
     entry = entry_point if entry_point is not None else compute_medioid(data)
     entry_ids = jnp.asarray([int(entry)], dtype=jnp.int32)
 
+    sampler = None
+    sample_ids_host = None
+    if sampled_entries:
+        # same lever as the single-device builder (build.py): per-node
+        # entries from a replicated sample; pass 1 masks not-yet-inserted
+        # sample rows so searches never enter edge-less nodes
+        from ..index.vamana.entry import build_sampler
+        sampler = build_sampler(data, entry_sample_size)
+        sample_ids_host = np.asarray(sampler.ids)
+
     graph0 = NeighborGraph.empty(n, r)
     adjacency, degrees, g_meta = shard_graph(graph0, mesh, axis)
     data_sh = shard_dataset(data, mesh, axis)
@@ -729,12 +740,16 @@ def sharded_build_graph(mesh: Mesh, data, params, distance, *,
     pool_size = params.max_candidate_pool_size
     num_batches = -(-n // b)
 
-    def round_local(adj, deg, vec, nrm, batch_ids, batch_valid, eids, *,
-                    window, max_iters, rev_alpha):
+    def round_local(adj, deg, vec, nrm, batch_ids, batch_valid, eids,
+                    *s_ops, window, max_iters, rev_alpha):
         gview = ShardedGraphShard(adj, deg, **g_meta)
         dview = ShardedDataShard(vec, nrm, axis=axis, n=n, dim=data.dim)
+        smp = sinv = None
+        if s_ops:
+            from ..index.vamana.entry import EntrySampler
+            smp, sinv = EntrySampler(*s_ops[:3]), s_ops[3]
         g2, dropped = build_mod.build_round(
-            gview, dview, batch_ids, batch_valid, eids,
+            gview, dview, batch_ids, batch_valid, eids, smp, sinv,
             window=window, capacity=window, max_iters=max_iters,
             distance=distance, pool_size=pool_size,
             gen_alpha=float(params.alpha), rev_alpha=float(rev_alpha),
@@ -742,6 +757,9 @@ def sharded_build_graph(mesh: Mesh, data, params, distance, *,
             prune_chunk=prune_chunk, pop_width=pop_width)
         return g2.adjacency, g2.degrees, dropped
 
+    s_specs = () if sampler is None else (P(), P(), P(), P())
+    s_base = () if sampler is None else (sampler.vectors, sampler.norms_sq,
+                                         sampler.ids)
     compiled = {}
     for pass_idx, rev_alpha in enumerate((1.0, float(params.alpha))):
         window = params.window_size
@@ -753,7 +771,7 @@ def sharded_build_graph(mesh: Mesh, data, params, distance, *,
                         rev_alpha=rev_alpha),
                 mesh=mesh,
                 in_specs=(P(axis, None), P(axis), P(axis, None), P(axis),
-                          P(), P(), P()),
+                          P(), P(), P(), *s_specs),
                 out_specs=(P(axis, None), P(axis), P()),
                 check_vma=False)
             compiled[key] = jax.jit(fn)
@@ -762,9 +780,11 @@ def sharded_build_graph(mesh: Mesh, data, params, distance, *,
             ids = np.arange(start, start + b, dtype=np.int32)
             valid = ids < n
             ids = np.minimum(ids, n - 1)
+            s_ops = () if sampler is None else (*s_base, jnp.asarray(
+                sample_ids_host >= (n if pass_idx else start)))
             adjacency, degrees, _ = compiled[key](
                 adjacency, degrees, data_sh.vectors, data_sh.norms_sq,
-                jnp.asarray(ids), jnp.asarray(valid), entry_ids)
+                jnp.asarray(ids), jnp.asarray(valid), entry_ids, *s_ops)
         jax.block_until_ready(adjacency)
 
     graph = NeighborGraph(adjacency=jnp.asarray(np.asarray(adjacency))[:n],
