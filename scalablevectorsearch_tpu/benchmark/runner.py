@@ -181,7 +181,13 @@ def vamana_search(job: dict) -> dict:
         index = VamanaIndex.assemble(job["index_dir"])
     else:
         bp = VamanaBuildParameters(**job.get("build_parameters", {}))
-        index = VamanaIndex.build(bp, data, distance)
+        index = VamanaIndex.build(bp, data, distance,
+                                  sampled_entries=job.get(
+                                      "sampled_entries", False))
+    if job.get("packed_serving"):
+        index.enable_packed_serving()
+    if job.get("entry_sampler"):
+        index.enable_entry_sampler(job.get("entry_sample_size"))
     gt = _groundtruth(data, queries, k, distance)
 
     configs = []

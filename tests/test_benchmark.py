@@ -51,6 +51,18 @@ class TestWorkloads:
         assert res["configs"][1]["recall"] >= res["configs"][0]["recall"]
         assert res["calibrated"][0]["recall"] >= 0.9
 
+    def test_vamana_search_serving_levers(self):
+        """Job-spec knobs for the TPU serving levers (sampled build +
+        entry sampler + packed serving)."""
+        job = dict(executable="vamana_search", **TINY,
+                   build_parameters={"graph_max_degree": 16,
+                                     "window_size": 32},
+                   sampled_entries=True, entry_sampler=True,
+                   packed_serving=True,
+                   search_window_sizes=[12, 30])
+        res = run_job(job)
+        assert res["configs"][-1]["recall"] >= 0.9
+
     def test_ivf_job(self):
         job = dict(executable="ivf_search", **TINY,
                    build_parameters={"num_centroids": 32,
