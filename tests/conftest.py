@@ -27,6 +27,20 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test files.
+
+    The full suite compiles thousands of CPU executables; past ~150 tests
+    the accumulated XLA:CPU JIT state segfaults inside
+    ``backend_compile_and_load`` (jax 0.9.0; reproduced twice at different
+    tests, position drifts with suite size, any prefix subset passes).
+    Dropping the pjit caches per module keeps live JIT memory bounded; the
+    cost is one recompile of the shared kernels per file."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)
