@@ -148,7 +148,8 @@ class IVFIndex:
                  distance, search_parameters: Optional[IVFSearchParameters]
                  = None, build_parameters: Optional[IVFBuildParameters] = None,
                  rerank_data=None, query_batch_size: int = 512,
-                 scan_subtile: int = 256, logger=None):
+                 scan_subtile: int = 256, logger=None,
+                 n_clusters=None):
         centroids = np.asarray(centroids, dtype=np.float32)
         d_pad = data.padded_dim
         if centroids.shape[1] < d_pad:   # pad to the dataset's lane width
@@ -167,22 +168,56 @@ class IVFIndex:
         self.query_batch_size = query_batch_size
         self.scan_subtile = scan_subtile
         self.logger = logger
+        # chunked layouts have more probe units than logical clusters
+        # (oversized clusters split into units replicating their centroid)
+        self.n_clusters = int(n_clusters if n_clusters is not None
+                              else self.centroids.shape[0])
 
     # -- assembly ----------------------------------------------------------------
     @classmethod
     def assemble_from_clustering(cls, clustering: Clustering, data,
                                  distance, dataset_cls=VectorDataset,
-                                 rerank: bool = False, **kwargs) -> "IVFIndex":
+                                 rerank: bool = False,
+                                 max_posting_factor=None,
+                                 **kwargs) -> "IVFIndex":
         """Pack posting lists into the padded reordered layout
-        (reference assemble path, ivf.cpp:207-380 + clustering.h:314)."""
+        (reference assemble path, ivf.cpp:207-380 + clustering.h:314).
+
+        ``max_posting_factor`` caps the per-probe-unit slot at
+        ``factor * ceil(n / K)`` by chunking oversized clusters (probe
+        units replicate their cluster's centroid) — without the cap the
+        dense layout's memory is K * LARGEST posting, which blows up
+        under cluster-size skew (measured 48 GB at 10M x 96 / K=8192),
+        while the capped layout wastes at most ~factor x n rows no
+        matter the skew.  ``None`` (default) = auto: cap at 2x mean ONLY
+        when the uncapped layout would waste > 4x n rows, so balanced
+        layouts stay bit-identical to the one-unit-per-cluster packing
+        (golden tables, sharded parity).  0 = never cap."""
         x = data.to_numpy() if hasattr(data, "to_numpy") else \
             np.asarray(data, dtype=np.float32)
         n = x.shape[0]
         k = clustering.num_centroids
+        from ...lib import datatypes as dt
         from .clustering import pack_padded_clusters
-        rows, ids_padded, slot = pack_padded_clusters(
-            x, clustering.assignments, k)
-        total = k * slot
+        mean_slot = -(-n // max(k, 1))
+        factor = max_posting_factor
+        if factor is None:   # auto: only rescue pathological skew AT SCALE
+            sizes = np.bincount(np.asarray(clustering.assignments),
+                                minlength=k)
+            uncapped_total = k * int(dt.pad_to(max(int(sizes.max()), 1), 8))
+            # small layouts stay bit-identical to one-unit-per-cluster
+            # packing (golden tables / n_probes-counts-clusters parity);
+            # the cap exists to stop the max-driven layout from
+            # exhausting memory (48 GB measured at 10M x 96 / K=8192)
+            factor = 2.0 if (uncapped_total > 4 * n
+                             and uncapped_total > 5_000_000) else 0.0
+        slot_cap = int(factor * mean_slot) if factor else 0
+        rows, ids_padded, slot, owners = pack_padded_clusters(
+            x, clustering.assignments, k, slot_cap=slot_cap)
+        centroids = np.asarray(clustering.centroids, dtype=np.float32)
+        if owners.shape[0] != k:     # chunked: one probe unit per chunk
+            centroids = centroids[owners]
+        total = owners.shape[0] * slot
 
         reordered = dataset_cls.compress(rows) if hasattr(
             dataset_cls, "compress") else dataset_cls.from_array(rows)
@@ -197,8 +232,9 @@ class IVFIndex:
         if logger is not None:
             logger.info("ivf assemble: K=%d slot=%d padding factor %.2fx",
                         k, slot, waste)
-        return cls(clustering.centroids, reordered, ids_padded, slot, n,
-                   distance, rerank_data=rerank_data, **kwargs)
+        return cls(centroids, reordered, ids_padded, slot, n,
+                   distance, rerank_data=rerank_data, n_clusters=k,
+                   **kwargs)
 
     @classmethod
     def build(cls, build_parameters: IVFBuildParameters, data, distance,
@@ -221,6 +257,13 @@ class IVFIndex:
 
     @property
     def num_centroids(self) -> int:
+        """Logical cluster count (reference semantics)."""
+        return self.n_clusters
+
+    @property
+    def num_probe_units(self) -> int:
+        """Probe units = centroid rows; > num_centroids when oversized
+        clusters were chunked (n_probes counts these)."""
         return self.centroids.shape[0]
 
     # -- search ------------------------------------------------------------------------
@@ -232,7 +275,7 @@ class IVFIndex:
         every search entry point — tests/integration/cancel.cpp)."""
         from ...lib.exceptions import check_cancel
         params = parameters or self.search_parameters
-        n_probes = min(params.n_probes, self.num_centroids)
+        n_probes = min(params.n_probes, self.num_probe_units)
         keep = max(k * params.k_reorder, k)
         sub = min(self.scan_subtile, self.slot)
         while self.slot % sub != 0:
@@ -288,6 +331,7 @@ class IVFIndex:
             "distance": self.distance.value,
             "slot": self.slot,
             "num_points": self.n,
+            "n_clusters": self.n_clusters,
             "centroids": ctx.save_array(np.asarray(self.centroids)),
             "ids_padded": ctx.save_array(np.asarray(self.ids_padded)),
             "search_parameters": self.search_parameters.save_table(),
@@ -317,4 +361,5 @@ class IVFIndex:
         return cls(ctx.load_array(table["centroids"]), data,
                    ctx.load_array(table["ids_padded"]), table["slot"],
                    table["num_points"], table["distance"],
-                   search_parameters=sp, build_parameters=bp, **kwargs)
+                   search_parameters=sp, build_parameters=bp,
+                   n_clusters=table.get("n_clusters"), **kwargs)

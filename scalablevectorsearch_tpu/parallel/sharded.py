@@ -130,8 +130,11 @@ def sharded_ivf_search(mesh: Mesh, index, queries: jax.Array, k: int, *,
     eff_sub = min(sub, slot)
     while slot % eff_sub != 0:
         eff_sub //= 2
-    n_clusters = index.num_centroids
-    # pad cluster count to a multiple of the shard count
+    # shard by PROBE UNIT (= centroid row): chunked layouts have more
+    # units than logical clusters (oversized clusters split into units
+    # that replicate their centroid — index.py assemble_from_clustering)
+    n_clusters = getattr(index, "num_probe_units", index.num_centroids)
+    # pad unit count to a multiple of the shard count
     k_pad = -(-n_clusters // n_shards) * n_shards
     grow_rows = (k_pad - n_clusters) * slot
     data = index.data

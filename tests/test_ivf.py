@@ -94,6 +94,42 @@ class TestIVFIndex:
                            IVFSearchParameters(n_probes=64))
         assert svt.k_recall_at_n(gt, res) >= 0.999
 
+    def test_skewed_clusters_chunked_postings(self, rng):
+        """Cluster-size skew must not blow up the dense layout (measured
+        48 GB at 10M x 96 / K=8192 uncapped): oversized clusters chunk
+        into probe units that replicate their centroid, bounding the
+        layout at ~max_posting_factor x the balanced size, with recall
+        preserved at modestly higher probe counts."""
+        # one hot region with 70% of the mass + small scattered clusters
+        hot = rng.normal(scale=0.5, size=(2800, 24)).astype(np.float32)
+        rest = (rng.normal(scale=30.0, size=(40, 24))[
+            rng.integers(0, 40, size=1200)]
+            + rng.normal(size=(1200, 24))).astype(np.float32)
+        data = np.concatenate([hot, rest])
+        queries = data[rng.choice(4000, size=100, replace=False)]
+        gt = svt.exhaustive_search(data, queries, 10)
+        params = IVFBuildParameters(num_centroids=64, num_iterations=6,
+                                    training_fraction=0.5,
+                                    is_hierarchical=False)
+        capped = IVFIndex.build(params, data, "l2",
+                                max_posting_factor=2.0)
+        uncapped = IVFIndex.build(params, data, "l2",
+                                  max_posting_factor=0)
+        # per-unit slot bounded at ~factor * mean (skew-proof), so the
+        # layout is never larger than the max-driven uncapped one and the
+        # waste is bounded by ~factor x regardless of skew
+        assert capped.slot <= 2 * -(-4000 // 64) + 8
+        assert capped.slot < uncapped.slot
+        assert capped.ids_padded.shape[0] <= uncapped.ids_padded.shape[0]
+        assert capped.num_centroids == 64    # logical clusters unchanged
+        assert capped.num_probe_units > 64   # chunks replicate centroids
+        rec_c = svt.k_recall_at_n(gt, capped.search(
+            queries, 10, IVFSearchParameters(n_probes=24)))
+        rec_u = svt.k_recall_at_n(gt, uncapped.search(
+            queries, 10, IVFSearchParameters(n_probes=16)))
+        assert rec_c >= rec_u - 0.03, (rec_c, rec_u)
+        assert rec_c >= 0.9, rec_c
+
     def test_save_load_roundtrip(self, tmp_path, built):
         index, data, queries, gt = built
         index.save(str(tmp_path / "ivf"))
