@@ -237,7 +237,8 @@ def ivf_search(job: dict) -> dict:
         sp = IVFSearchParameters(n_probes=probes,
                                  k_reorder=job.get("k_reorder", 1))
         res, qps, lat_us, pct = _measure_qps(
-            lambda q, kk: index.search(q, kk, sp), queries, k)
+            lambda q, kk: index.search(q, kk, sp), queries, k,
+            async_fn=lambda q, kk: index.search_async(q, kk, sp))
         configs.append({"n_probes": probes,
                         "recall": round(k_recall_at_n(gt, res), 5),
                         "qps": round(qps, 1),
@@ -387,7 +388,8 @@ def inverted_search(job: dict) -> dict:
         sp = InvertedSearchParameters(refinement_epsilon=eps,
                                       max_probes=job.get("max_probes", 16))
         res, qps, lat_us, pct = _measure_qps(
-            lambda q, kk: index.search(q, kk, parameters=sp), queries, k)
+            lambda q, kk: index.search(q, kk, parameters=sp), queries, k,
+            async_fn=lambda q, kk: index.search_async(q, kk, parameters=sp))
         configs.append({"refinement_epsilon": eps,
                         "recall": round(k_recall_at_n(gt, res), 5),
                         "qps": round(qps, 1),

@@ -113,6 +113,13 @@ class FlatIndex:
 
         ``cancel``: optional predicate checked between batches (the
         cancellation hook of reference flat.h:326)."""
+        return self.search_async(queries, k, row_mask=row_mask,
+                                 cancel=cancel).result()
+
+    def search_async(self, queries, k: int, row_mask=None, cancel=None):
+        """Pipelined dispatch (see ``VamanaIndex.search_async``): device
+        work + async device->host copies start before this returns."""
+        from .vamana.index import PendingSearch
         from ..lib.exceptions import check_cancel
         queries = np.asarray(queries)
         nq, dim = queries.shape
@@ -136,16 +143,14 @@ class FlatIndex:
                 row_mask=mask_dev)
             vals = dist_ops.value_from_key(self.distance,
                                            keys[: stop - start])
-            pending.append((start, stop, vals, ids[: stop - start]))
+            pending.append((start, ids[: stop - start], vals))
         # start every device->host copy before the first blocking read (each
         # blocking transfer costs a full tunnel round trip)
-        for _start, _stop, vals, ids in pending:
+        for _start, ids, vals in pending:
             vals.copy_to_host_async()
             ids.copy_to_host_async()
-        for start, stop, vals, ids in pending:
-            all_ids[start:stop] = np.asarray(ids)
-            all_vals[start:stop] = np.asarray(vals)
-        return QueryResult(ids=all_ids, distances=all_vals)
+        return PendingSearch(pending=pending, rows=qb, nq=nq,
+                             out_ids=all_ids, out_vals=all_vals)
 
     # -- persistence -----------------------------------------------------------
     SCHEMA = "flat_index"

@@ -317,6 +317,14 @@ class InvertedIndex:
         """``cancel``: optional zero-arg predicate checked between query
         batch dispatches (reference cancel hooks,
         tests/integration/cancel.cpp)."""
+        return self.search_async(queries, k, parameters=parameters,
+                                 cancel=cancel).result()
+
+    def search_async(self, queries, k: int,
+                     parameters: Optional[InvertedSearchParameters] = None,
+                     cancel=None):
+        """Pipelined dispatch (see ``IVFIndex.search_async``)."""
+        from ..vamana.index import PendingSearch
         from ...lib.exceptions import check_cancel
         params = parameters or self.search_parameters
         window = max(params.primary_window_size, params.max_probes)
@@ -354,14 +362,12 @@ class InvertedIndex:
                 distance=self.distance)
             vals = dist_ops.value_from_key(self.distance,
                                            keys[: stop - start])
-            pending.append((start, stop, ids[: stop - start], vals))
-        for _start, _stop, ids, vals in pending:
+            pending.append((start, ids[: stop - start], vals))
+        for _start, ids, vals in pending:
             ids.copy_to_host_async()
             vals.copy_to_host_async()
-        for start, stop, ids, vals in pending:
-            out_ids[start:stop] = np.asarray(ids)
-            out_vals[start:stop] = np.asarray(vals)
-        return QueryResult(ids=out_ids, distances=out_vals)
+        return PendingSearch(pending=pending, rows=qb, nq=nq,
+                             out_ids=out_ids, out_vals=out_vals)
 
     # -- persistence ----------------------------------------------------------------
     def save(self, config_dir: str) -> None:

@@ -120,6 +120,15 @@ class DynamicIVFIndex:
         """``cancel``: optional zero-arg predicate checked between query
         batch dispatches (reference cancel hooks,
         tests/integration/cancel.cpp)."""
+        return self.search_async(queries, k, parameters=parameters,
+                                 cancel=cancel).result()
+
+    def search_async(self, queries, k: int,
+                     parameters: Optional[IVFSearchParameters] = None,
+                     cancel=None):
+        """Pipelined dispatch (see ``IVFIndex.search_async``); slot->external
+        id translation happens on the host at ``.result()`` time."""
+        from ..vamana.index import PendingSearch
         from ...lib.exceptions import check_cancel
         params = parameters or IVFSearchParameters()
         n_probes = min(params.n_probes, self.k)
@@ -151,16 +160,18 @@ class DynamicIVFIndex:
                 keep=keep, slot=self.slot, sub=sub, distance=self.distance)
             vals = dist_ops.value_from_key(
                 self.distance, keys[: stop - start, :k])
-            pending.append((start, stop, slots[: stop - start, :k], vals))
-        for _start, _stop, slots, vals in pending:
+            pending.append((start, slots[: stop - start, :k], vals))
+        for _start, slots, vals in pending:
             slots.copy_to_host_async()
             vals.copy_to_host_async()
-        for start, stop, slots, vals in pending:
-            s = np.asarray(slots)
-            out_ids[start:stop] = np.where(
+
+        def _translate(s):
+            return np.where(
                 s >= 0, self.translator.to_external(np.maximum(s, 0)), -1)
-            out_vals[start:stop] = np.asarray(vals)
-        return QueryResult(ids=out_ids, distances=out_vals)
+
+        return PendingSearch(pending=pending, rows=qb, nq=nq,
+                             out_ids=out_ids, out_vals=out_vals,
+                             translate_ids=_translate)
 
     # -- mutation -----------------------------------------------------------------
     def add_points(self, points, external_ids) -> None:
@@ -227,6 +238,9 @@ class DynamicIVF:
 
     def search(self, queries, n_neighbors: int) -> QueryResult:
         return self._index.search(queries, n_neighbors)
+
+    def search_async(self, queries, n_neighbors: int):
+        return self._index.search_async(queries, n_neighbors)
 
     def add_points(self, points, external_ids) -> None:
         self._index.add_points(points, external_ids)

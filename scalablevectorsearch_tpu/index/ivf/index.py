@@ -273,6 +273,20 @@ class IVFIndex:
         """``cancel``: optional zero-arg predicate checked between query
         batch dispatches (the reference threads cancel predicates through
         every search entry point — tests/integration/cancel.cpp)."""
+        return self.search_async(queries, k, parameters=parameters,
+                                 cancel=cancel).result()
+
+    def search_async(self, queries, k: int,
+                     parameters: Optional[IVFSearchParameters] = None,
+                     cancel=None):
+        """Dispatch a batch search and return a ``PendingSearch``.
+
+        Same cross-call pipelining as Vamana's ``search_async``
+        (index/vamana/index.py): all device work and async device->host
+        copies start before this returns, so call N+1's host pad/upload
+        rides the tunnel while call N computes — the TPU analog of the
+        reference's threadpool-saturated serving (index.h:556-603)."""
+        from ..vamana.index import PendingSearch
         from ...lib.exceptions import check_cancel
         params = parameters or self.search_parameters
         n_probes = min(params.n_probes, self.num_probe_units)
@@ -312,14 +326,12 @@ class IVFIndex:
                 keys, ids = keys[:, :k], ids[:, :k]
             vals = dist_ops.value_from_key(self.distance,
                                            keys[: stop - start])
-            pending.append((start, stop, ids[: stop - start], vals))
-        for _start, _stop, ids, vals in pending:
+            pending.append((start, ids[: stop - start], vals))
+        for _start, ids, vals in pending:
             ids.copy_to_host_async()
             vals.copy_to_host_async()
-        for start, stop, ids, vals in pending:
-            out_ids[start:stop] = np.asarray(ids)
-            out_vals[start:stop] = np.asarray(vals)
-        return QueryResult(ids=out_ids, distances=out_vals)
+        return PendingSearch(pending=pending, rows=qb, nq=nq,
+                             out_ids=out_ids, out_vals=out_vals)
 
     # -- persistence --------------------------------------------------------------------
     def save(self, config_dir: str, data_dir: Optional[str] = None) -> None:

@@ -33,6 +33,9 @@ class Flat:
     def search(self, queries, n_neighbors: int) -> QueryResult:
         return self._index.search(queries, n_neighbors)
 
+    def search_async(self, queries, n_neighbors: int):
+        return self._index.search_async(queries, n_neighbors)
+
     @property
     def size(self) -> int:
         return self._index.size

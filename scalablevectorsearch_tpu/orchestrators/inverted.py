@@ -26,6 +26,9 @@ class Inverted:
     def search(self, queries, n_neighbors: int) -> QueryResult:
         return self._index.search(queries, n_neighbors)
 
+    def search_async(self, queries, n_neighbors: int):
+        return self._index.search_async(queries, n_neighbors)
+
     @property
     def search_parameters(self) -> InvertedSearchParameters:
         return self._index.search_parameters

@@ -42,6 +42,9 @@ class IVF:
     def search(self, queries, n_neighbors: int) -> QueryResult:
         return self._index.search(queries, n_neighbors)
 
+    def search_async(self, queries, n_neighbors: int):
+        return self._index.search_async(queries, n_neighbors)
+
     @property
     def search_parameters(self) -> IVFSearchParameters:
         return self._index.search_parameters

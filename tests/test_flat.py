@@ -51,6 +51,16 @@ class TestFlatIndex:
         res_cos = FlatIndex.from_array(data, distance=D.Cosine).search(queries, 1)
         assert (res_cos.distances <= 1.0 + 1e-5).all()
 
+    def test_search_async_parity(self, small_dataset):
+        data, queries = small_dataset
+        index = FlatIndex.from_array(data, distance=D.L2)
+        sync = index.search(queries, 10)
+        handles = [index.search_async(queries, 10) for _ in range(2)]
+        for h in handles:
+            res = h.result()
+            np.testing.assert_array_equal(res.ids, sync.ids)
+            np.testing.assert_array_equal(res.distances, sync.distances)
+
     def test_row_mask_filters(self, small_dataset):
         data, queries = small_dataset
         index = FlatIndex.from_array(data, distance=D.L2)

@@ -55,6 +55,18 @@ class TestInvertedIndex:
             assert rec >= prev - 0.02
             prev = rec
 
+    def test_search_async_parity(self, built):
+        index, data, queries, gt = built
+        sp = InvertedSearchParameters(primary_window_size=32,
+                                      refinement_epsilon=2.0, max_probes=16)
+        sync = index.search(queries, 10, sp)
+        handles = [index.search_async(queries, 10, parameters=sp)
+                   for _ in range(2)]
+        for h in handles:
+            res = h.result()
+            np.testing.assert_array_equal(res.ids, sync.ids)
+            np.testing.assert_array_equal(res.distances, sync.distances)
+
     def test_save_assemble(self, tmp_path, built):
         index, data, queries, gt = built
         index.save(str(tmp_path / "inv"))

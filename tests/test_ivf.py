@@ -94,6 +94,18 @@ class TestIVFIndex:
                            IVFSearchParameters(n_probes=64))
         assert svt.k_recall_at_n(gt, res) >= 0.999
 
+    def test_search_async_parity(self, built):
+        """search_async pipelines whole calls (Vamana's PendingSearch
+        pattern): results are identical to the blocking search."""
+        index, data, queries, gt = built
+        sp = IVFSearchParameters(n_probes=8)
+        sync = index.search(queries, 10, sp)
+        handles = [index.search_async(queries, 10, sp) for _ in range(2)]
+        for h in handles:
+            res = h.result()
+            np.testing.assert_array_equal(res.ids, sync.ids)
+            np.testing.assert_array_equal(res.distances, sync.distances)
+
     def test_skewed_clusters_chunked_postings(self, rng):
         """Cluster-size skew must not blow up the dense layout (measured
         48 GB at 10M x 96 / K=8192 uncapped): oversized clusters chunk
@@ -181,6 +193,21 @@ class TestIVFOrchestrator:
 
 
 class TestDynamicIVF:
+    def test_search_async_parity(self, clustered):
+        from scalablevectorsearch_tpu.index.ivf.dynamic import DynamicIVF
+        data, queries = clustered
+        params = IVFBuildParameters(num_centroids=32, num_iterations=4,
+                                    training_fraction=0.5,
+                                    is_hierarchical=False)
+        ext = np.arange(2000, dtype=np.int64) * 3 + 1
+        div = DynamicIVF.build(params, data[:2000], ext, "l2")
+        sync = div.search(queries, 10)
+        handles = [div.search_async(queries, 10) for _ in range(2)]
+        for h in handles:
+            res = h.result()
+            np.testing.assert_array_equal(res.ids, sync.ids)
+            np.testing.assert_array_equal(res.distances, sync.distances)
+
     def test_mutation_lifecycle(self, clustered):
         from scalablevectorsearch_tpu.index.ivf.dynamic import DynamicIVF
         from scalablevectorsearch_tpu.utils.dynamic_helper import (
