@@ -292,7 +292,9 @@ class MutableVamanaIndex:
         cfg = params.buffer_config
         # deleted entries occupy beam slots until consolidation; widen the
         # retained capacity so k live results survive extraction
-        window = max(cfg.search_window_size, k)
+        # sub-k pop horizons are legal (capacity, not window, guarantees k
+        # results — see index.py search_async and search_buffer.h:39)
+        window = max(cfg.search_window_size, 1)
         capacity = max(cfg.search_buffer_capacity, window, 2 * k)
         max_iters = params.resolved_max_iters()
         visited_size = (self.pop_width * max_iters

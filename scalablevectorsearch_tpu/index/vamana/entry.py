@@ -47,6 +47,13 @@ from ...ops import distance as dist_ops
 DEFAULT_SAMPLES = 1024
 MAX_SAMPLES = 65536
 
+# Above this sample size the (B, S) selection panel is folded over
+# S-chunks with a running min instead of materialized whole: at the
+# S=65536 cap and B=2048 the one-shot panel is a 512 MB f32 transient,
+# while 8192-row chunks bound it at 64 MB with identical results (the
+# chunk matmuls are the same MXU work either way).
+SELECT_CHUNK = 8192
+
 
 def auto_samples(n: int) -> int:
     """Scale-aware default sample size: ~n/128 rows, floored at the 100k
@@ -88,17 +95,60 @@ class EntrySampler:
         ids).
         """
         distance = dist_ops.as_distance(distance)
-        keys = dist_ops.pairwise_keys(distance, queries.astype(jnp.float32),
-                                      self.vectors,
-                                      vector_norms_sq=self.norms_sq)
-        bad = self.ids[None, :] < 0
+        q = queries.astype(jnp.float32)
+        bad = self.ids < 0
         if invalid is not None:
-            bad = bad | invalid[None, :]
-        keys = jnp.where(bad, jnp.inf, keys)
+            bad = bad | invalid
+        s = self.vectors.shape[0]
+        if n_entries == 1 and s > SELECT_CHUNK:
+            return self._select_chunked(distance, q, bad)
+        keys = dist_ops.pairwise_keys(distance, q, self.vectors,
+                                      vector_norms_sq=self.norms_sq)
+        keys = jnp.where(bad[None, :], jnp.inf, keys)
         if n_entries == 1:
             return self.ids[jnp.argmin(keys, axis=-1)][:, None]
         _, idx = jax.lax.top_k(-keys, n_entries)
         return self.ids[idx]
+
+    def _select_chunked(self, distance, q: jax.Array,
+                        bad: jax.Array) -> jax.Array:
+        """Running-min fold over SELECT_CHUNK-row sample slices.
+
+        Bit-equal to the one-shot panel argmin for the first minimum (ties
+        resolve to the lowest slot index either way since chunks scan in
+        slot order), but the live key transient is (B, SELECT_CHUNK)
+        instead of (B, S)."""
+        s, b = self.vectors.shape[0], q.shape[0]
+        n_chunks = -(-s // SELECT_CHUNK)
+        pad = n_chunks * SELECT_CHUNK - s
+        vecs = jnp.pad(self.vectors, ((0, pad), (0, 0)))
+        # +inf norms make padded rows lose every L2 comparison; `bad`
+        # padding covers MIP/cosine (whose keys ignore vector norms)
+        norms = jnp.pad(self.norms_sq, (0, pad),
+                        constant_values=jnp.inf)
+        ids = jnp.pad(self.ids, (0, pad), constant_values=-1)
+        badp = jnp.pad(bad, (0, pad), constant_values=True)
+        xs = (vecs.reshape(n_chunks, SELECT_CHUNK, -1),
+              norms.reshape(n_chunks, SELECT_CHUNK),
+              ids.reshape(n_chunks, SELECT_CHUNK),
+              badp.reshape(n_chunks, SELECT_CHUNK))
+
+        def step(carry, x):
+            best_key, best_id = carry
+            cv, cn, ci, cb = x
+            keys = dist_ops.pairwise_keys(distance, q, cv,
+                                          vector_norms_sq=cn)
+            keys = jnp.where(cb[None, :], jnp.inf, keys)
+            j = jnp.argmin(keys, axis=-1)
+            ck = jnp.take_along_axis(keys, j[:, None], axis=-1)[:, 0]
+            better = ck < best_key
+            return (jnp.where(better, ck, best_key),
+                    jnp.where(better, ci[j], best_id)), None
+
+        init = (jnp.full((b,), jnp.inf, jnp.float32),
+                jnp.full((b,), -1, jnp.int32))
+        (_, best_id), _ = jax.lax.scan(step, init, xs)
+        return best_id[:, None]
 
 
 def build_sampler(data, n_samples: Optional[int] = None,

@@ -120,11 +120,12 @@ def upload_dtype_for(q_host: np.ndarray) -> np.dtype:
 
 @partial(jax.jit, static_argnames=(
     "k", "window", "capacity", "max_iters", "distance",
-    "tail_frac", "visited_size", "two_level", "n_entries"))
+    "tail_frac", "visited_size", "two_level", "n_entries", "pop_width"))
 def _search_batch(graph, data, packed, rerank_view, sampler, q, entry_ids,
                   *, k: int, window: int, capacity: int,
                   max_iters: int, distance, tail_frac: int,
-                  visited_size: int, two_level: bool, n_entries: int = 1):
+                  visited_size: int, two_level: bool, n_entries: int = 1,
+                  pop_width: int = search_mod.SERVING_POP_WIDTH):
     """One fully-fused serving dispatch: (optional) per-query entry
     selection + beam search + (optional) two-level rerank + key->distance
     conversion — the host does nothing between dispatches but enqueue (the
@@ -145,7 +146,7 @@ def _search_batch(graph, data, packed, rerank_view, sampler, q, entry_ids,
         graph, data, q, entry_ids,
         window=window, capacity=capacity, max_iters=max_iters,
         distance=distance, packed=packed, tail_frac=tail_frac,
-        visited_size=visited_size)
+        visited_size=visited_size, pop_width=pop_width)
     ids, keys = out.ids, out.keys
     if two_level:
         # traversal keys come from the primary level; rerank the retained
@@ -220,6 +221,9 @@ class VamanaIndex:
         # lockstep tail compaction (search.py greedy_search tail_frac):
         # finish each batch's stragglers on a 1/4-size compacted slice
         self.tail_frac = 4
+        # beam entries expanded per lockstep iteration (multi-pop; see
+        # greedy_search pop_width) — serving default measured optimal at 4
+        self.pop_width = search_mod.SERVING_POP_WIDTH
 
     # -- construction ---------------------------------------------------------
     @classmethod
@@ -373,7 +377,14 @@ class VamanaIndex:
         from ...lib.exceptions import check_cancel
         params = parameters or self._search_parameters
         cfg = params.buffer_config
-        window = max(cfg.search_window_size, k)
+        # window (pop horizon) may sit BELOW k: the k results come from the
+        # final beam, whose capacity is floored at k — the reference's
+        # window/capacity split has the same semantics (search_buffer.h:39;
+        # its buffer returns k from capacity while window bounds
+        # exploration).  Sub-k windows trade recall for fewer lockstep
+        # iterations; with multi-pop + sampled entries the recall surplus
+        # makes that a live serving operating point (PERF.md).
+        window = max(cfg.search_window_size, 1)
         capacity = max(cfg.search_buffer_capacity, window, k)
         # Two-level compressed datasets traverse on the coarse primary and
         # rerank the retained beam with the residual-corrected
@@ -387,7 +398,7 @@ class VamanaIndex:
         max_iters = params.resolved_max_iters()
         # exact visited filter: a ring of pop_width * max_iters ids holds
         # every expansion the bounded loop can make
-        visited_size = (search_mod.SERVING_POP_WIDTH * max_iters
+        visited_size = (self.pop_width * max_iters
                         if params.visited_set else 0)
 
         queries = np.asarray(queries)
@@ -423,7 +434,8 @@ class VamanaIndex:
                 k=k, window=window, capacity=capacity,
                 max_iters=max_iters, distance=self.distance,
                 tail_frac=self.tail_frac, visited_size=visited_size,
-                two_level=two_level, n_entries=self._entry_n)
+                two_level=two_level, n_entries=self._entry_n,
+                pop_width=self.pop_width)
             pending.append((i * plan.rows, ids_k, vals_k))
         # start EVERY device->host copy before the first blocking read:
         # each blocking transfer costs a full tunnel round trip (~45 ms)

@@ -155,7 +155,21 @@ class MultiMutableVamanaIndex:
         mean_mult = max(self.num_vectors / max(self.size, 1), 1.0)
         want_fetch = max(k * (1 + mean_mult), 2 * k)
         fetch = int(min(1 << int(np.ceil(np.log2(want_fetch))), nv))
-        inner_res = self._inner.search(queries, fetch, parameters=parameters,
+
+        def params_for(fetch):
+            # widen the pop horizon with the over-fetch: the dispatch no
+            # longer floors window at k (sub-k horizons are a legal serving
+            # point), but an over-fetching caller genuinely needs the
+            # exploration depth to scale with what it asks for
+            p = parameters or self._inner.search_parameters
+            cfg = p.buffer_config
+            if cfg.search_window_size >= fetch:
+                return p
+            return p.with_window(fetch,
+                                 max(cfg.search_buffer_capacity, fetch))
+
+        inner_res = self._inner.search(queries, fetch,
+                                       parameters=params_for(fetch),
                                        cancel=cancel)
         out_labels, out_vals, n_distinct = dedup_by_label(
             self._label_of(inner_res.ids), inner_res.distances, k)
@@ -166,7 +180,8 @@ class MultiMutableVamanaIndex:
                 break
             fetch = min(2 * fetch, nv)
             sub = self._inner.search(queries[short], fetch,
-                                     parameters=parameters, cancel=cancel)
+                                     parameters=params_for(fetch),
+                                     cancel=cancel)
             sl, sv, sn = dedup_by_label(
                 self._label_of(sub.ids), sub.distances, k)
             out_labels[short], out_vals[short] = sl, sv

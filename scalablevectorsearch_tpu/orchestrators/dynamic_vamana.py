@@ -54,6 +54,16 @@ class DynamicVamana:
         """Dispatch-only search (see VamanaIndex.search_async)."""
         return self._index.search_async(queries, n_neighbors)
 
+    @property
+    def pop_width(self) -> int:
+        """Beam entries expanded per lockstep iteration (see
+        orchestrators/vamana.py Vamana.pop_width)."""
+        return self._index.pop_width
+
+    @pop_width.setter
+    def pop_width(self, m: int) -> None:
+        self._index.pop_width = m
+
     # -- mutation ----------------------------------------------------------
     def add_points(self, points, external_ids) -> None:
         """(reference dynamic_vamana.h:72-80)"""

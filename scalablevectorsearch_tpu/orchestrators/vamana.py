@@ -71,6 +71,18 @@ class Vamana:
     def disable_entry_sampler(self) -> None:
         self._index.disable_entry_sampler()
 
+    @property
+    def pop_width(self) -> int:
+        """Beam entries expanded per lockstep iteration (multi-pop; see
+        greedy_search pop_width).  Larger values halve sequential
+        iterations at ~equal total work — measured Pareto-better at high
+        recall (m=8 w=11: 0.944 vs m=4's 0.912 at equal QPS, PERF.md)."""
+        return self._index.pop_width
+
+    @pop_width.setter
+    def pop_width(self, m: int) -> None:
+        self._index.pop_width = m
+
     # -- parameter surface ------------------------------------------------------
     @property
     def search_window_size(self) -> int:

@@ -208,6 +208,28 @@ class TestVamanaSearch:
         assert built_index.search_parameters.buffer_config\
             .search_buffer_capacity == 32
 
+    def test_sub_k_window(self, built_index, small_dataset):
+        """A pop horizon below k is legal: the k results come from the
+        final beam, whose capacity floors at k (the reference's
+        window/capacity split, search_buffer.h:39).  Sub-k windows must
+        return k valid, deduplicated, key-sorted neighbors — recall is the
+        caller's tradeoff, validity is not."""
+        data, queries = small_dataset
+        k = 10
+        built_index.search_parameters = VamanaSearchParameters(
+            buffer_config=SearchBufferConfig(6, 12))
+        res = built_index.search(queries[:16], k)
+        assert res.ids.shape == (16, k)
+        assert np.all(res.ids >= 0)
+        for row in res.ids:
+            assert len(set(row.tolist())) == k
+        assert np.all(np.diff(res.distances, axis=1) >= -1e-6)
+        # wider pop horizon at equal capacity never returns worse best-hits
+        built_index.search_parameters = VamanaSearchParameters(
+            buffer_config=SearchBufferConfig(12, 12))
+        res_wide = built_index.search(queries[:16], k)
+        assert np.all(res_wide.distances[:, 0] <= res.distances[:, 0] + 1e-5)
+
 
 class TestVamanaPersistence:
     def test_save_assemble_identical(self, tmp_path, built_index,
@@ -477,6 +499,28 @@ class TestEntrySampler:
                 s, ids=jnp.where(jnp.arange(64) < 60, -1, s.ids))
             got2 = np.asarray(masked.select(d, qp))[:, 0]
             assert np.all(np.isin(got2, sample_ids[60:]))
+
+    def test_chunked_select_matches_one_shot(self, rng, monkeypatch):
+        """Large samples fold the (B, S) select panel over SELECT_CHUNK
+        slices; results are bit-equal to the one-shot argmin (incl. -1
+        slots, non-dividing chunk boundaries, and an `invalid` mask)."""
+        from scalablevectorsearch_tpu.index.vamana import entry
+        from scalablevectorsearch_tpu.lib.datatypes import pad_matrix
+        from scalablevectorsearch_tpu.ops import distance as dist_ops
+        x = rng.normal(size=(500, 24)).astype(np.float32)
+        data = VectorDataset.from_array(x)
+        q = rng.normal(size=(16, 24)).astype(np.float32)
+        qp = jnp.asarray(pad_matrix(q, d_pad=data.padded_dim))
+        s = entry.build_sampler(data, 300, seed=3)
+        invalid = jnp.asarray(rng.random(300) < 0.3)
+        for metric in ("l2", "mip", "cosine"):
+            d = dist_ops.as_distance(metric)
+            one_shot = np.asarray(s.select(d, qp, invalid=invalid))
+            # force the chunked path with a chunk that does NOT divide S
+            monkeypatch.setattr(entry, "SELECT_CHUNK", 128)
+            chunked = np.asarray(s.select(d, qp, invalid=invalid))
+            monkeypatch.setattr(entry, "SELECT_CHUNK", 8192)
+            np.testing.assert_array_equal(one_shot, chunked)
 
 
 class TestReferenceInterop:
