@@ -83,6 +83,12 @@ def _build_and_serve(data, queries, k, alpha, windows, label):
                               sampled_entries=sampler_on)
     if os.environ.get("SVT_BENCH_QB"):
         index.query_batch_size = int(os.environ["SVT_BENCH_QB"])
+    # serving pop_width (SVT_BENCH_POPW): e2e QPS measured FLAT across
+    # m 4-8 at 100k, but m=8 serves +0.03 recall at equal window
+    # (PERF.md round-3 continuation) — the knob lets the driver pick the
+    # operating point without code edits
+    if os.environ.get("SVT_BENCH_POPW"):
+        index.pop_width = int(os.environ["SVT_BENCH_POPW"])
     build_s = time.time() - t0
     print(f"# {label} build: {build_s:.1f}s "
           f"mean_degree={index.graph.mean_degree():.1f}", file=sys.stderr, flush=True)
