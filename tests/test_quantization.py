@@ -297,6 +297,82 @@ class TestLeanVec:
         assert rec_s >= rec - 0.05, (rec_s, rec)
         lvv.disable_entry_sampler()
 
+    def test_query_aware_beats_pca_on_ood(self, rng):
+        """The [TBAH24] headline case: out-of-distribution queries whose
+        relevant subspace is NOT the data's top-variance subspace.  Data-only
+        PCA keeps the high-variance (query-irrelevant) directions; the
+        query-aware objective (generalized eigenproblem on the two
+        second-moment matrices) must recover the query subspace
+        (reference training.h:28-71 carries the query training set for
+        exactly this)."""
+        from scalablevectorsearch_tpu.quantization.leanvec import (
+            LeanVecDataset)
+        n, m, k = 2000, 200, 10
+        # dims 0..23: large variance, irrelevant to queries;
+        # dims 24..31: small variance, ALL the query energy.
+        data = np.concatenate(
+            [rng.normal(size=(n, 24)) * 10.0, rng.normal(size=(n, 8))],
+            axis=1).astype(np.float32)
+        queries = np.concatenate(
+            [np.zeros((m, 24)), rng.normal(size=(m, 8))],
+            axis=1).astype(np.float32)
+        gt = np.argsort(-(queries @ data.T), axis=1)[:, :k]
+
+        def recall(lv):
+            px = (data - lv.mean) @ lv.projection
+            pq = lv.project_queries(queries)
+            ids = np.argsort(-(pq @ px.T), axis=1)[:, :k]
+            hits = sum(len(set(a) & set(b)) for a, b in zip(ids, gt))
+            return hits / (m * k)
+
+        lv_pca = LeanVecDataset.train(data, target_dim=8)
+        lv_ood = LeanVecDataset.train(data, target_dim=8, queries=queries)
+        r_pca, r_ood = recall(lv_pca), recall(lv_ood)
+        assert r_ood >= 0.95, (r_pca, r_ood)
+        assert r_ood >= r_pca + 0.3, (r_pca, r_ood)
+
+    def test_query_aware_matches_pca_in_distribution(self, rng):
+        """When queries ARE the data distribution the OOD solution must not
+        be worse than PCA (it reduces to PCA up to rotation/scaling)."""
+        from scalablevectorsearch_tpu.quantization.leanvec import (
+            LeanVecDataset)
+        basis = np.linalg.qr(rng.normal(size=(32, 32)))[0].astype(np.float32)
+        scales = np.geomspace(10, 0.1, 32).astype(np.float32)
+        data = ((rng.normal(size=(2000, 32)) * scales) @ basis
+                ).astype(np.float32)
+        queries = ((rng.normal(size=(200, 32)) * scales) @ basis
+                   ).astype(np.float32)
+        k = 10
+        gt = np.argsort(-(queries @ data.T), axis=1)[:, :k]
+
+        def recall(lv):
+            px = (data - lv.mean) @ lv.projection
+            pq = lv.project_queries(queries)
+            ids = np.argsort(-(pq @ px.T), axis=1)[:, :k]
+            hits = sum(len(set(a) & set(b)) for a, b in zip(ids, gt))
+            return hits / (len(queries) * k)
+
+        r_pca = recall(LeanVecDataset.train(data, target_dim=12))
+        r_ood = recall(LeanVecDataset.train(data, target_dim=12,
+                                            queries=queries[:100]))
+        assert r_ood >= r_pca - 0.05, (r_pca, r_ood)
+
+    def test_query_aware_persistence(self, tmp_path, rng):
+        from scalablevectorsearch_tpu.quantization.leanvec import (
+            LeanVecDataset)
+        data = rng.normal(size=(300, 24)).astype(np.float32)
+        queries = rng.normal(size=(64, 24)).astype(np.float32) * \
+            np.geomspace(5, 0.1, 24).astype(np.float32)
+        lv = LeanVecDataset.train(data, target_dim=8, queries=queries)
+        assert lv.query_projection is not lv.projection
+        lv.save_to(str(tmp_path / "lv"))
+        lv2 = LeanVecDataset.load_from(str(tmp_path / "lv"))
+        np.testing.assert_allclose(lv2.projection, lv.projection, atol=1e-6)
+        np.testing.assert_allclose(lv2.query_projection,
+                                   lv.query_projection, atol=1e-6)
+        np.testing.assert_allclose(lv2.project_queries(queries),
+                                   lv.project_queries(queries), atol=1e-4)
+
     def test_leanvec_save_assemble(self, tmp_path, small_dataset):
         from scalablevectorsearch_tpu.quantization.leanvec import (
             LeanVecVamana)
