@@ -1,16 +1,31 @@
 #!/usr/bin/env python
-"""Headline benchmark: Vamana QPS at recall@10 >= 0.9.
+"""Headline benchmark: Vamana QPS at recall@10 >= 0.9, with variance-aware
+timing, roofline accounting, and multi-index phases.
 
-Builds a Vamana index over a clustered synthetic dataset on the real TPU,
-sweeps the search window to find the smallest config reaching recall@10 >= 0.9
-against exact (flat) ground truth, and reports steady-state QPS there — then
-repeats build + serving at 1M scale in the same (warm) process so the
-driver-tracked number covers both scales (BASELINE.md's ≤2x-Xeon 1M build
-target).
+Per scale (100k, then 1M in the same warm process) the bench measures:
+
+* **f32 Vamana** (headline): build, window sweep to recall@10 >= 0.9, QPS
+  as the MEDIAN of >= 3 pipelined timing rounds (min/max reported — the
+  remote-TPU tunnel has congestion variance that single samples hide),
+  per-batch latency over >= 8 equal warmed batches, and a serving roofline:
+  achieved HBM GB/s on the packed super-row gather stream vs the chip peak,
+  plus rows/s vs the measured ~9.5 ns/row small-row gather bound (PERF.md).
+* **LVQ8-packed serving** over the same graph (the equal-memory Pareto
+  point; PERF.md round-3).
+* **IVF**: k-means train (MXU GEMM roofline: achieved TFLOP/s vs bf16
+  peak) + n_probes sweep to recall@10 >= 0.9 with median-of-rounds QPS.
+
+A 10M phase (sampled-entries build + auto-scaled sampler + f32 serving) is
+opt-in via SVT_BENCH_10M=1; the built index persists under
+SVT_BENCH_10M_DIR (default /root/bench10m) so re-runs skip the ~2700 s
+build.  The reference's benchmark framework covers every index the same way
+(benchmark/include/svs-benchmark/search.h:77-110 reports per-config
+QPS/latency/recall; build.h:158-235 captures build walls).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "qps", "vs_baseline": N,
-   "build_s": ..., "latency": {p50/p95/p99}, "scale_1m": {...}}
+   "build_s": ..., "latency": {...}, "qps_min"/"qps_max": ...,
+   "roofline": {...}, "lvq8": {...}, "ivf": {...}, "scale_1m": {...}}
 
 ``vs_baseline`` is measured QPS divided by BASELINE_QPS — a nominal stand-in
 for the reference's CPU throughput at the same operating point (the reference
@@ -19,7 +34,7 @@ repo publishes no in-tree absolute QPS numbers; see BASELINE.md).
 Timing accounting: the axon TPU plugin's FIRST lowering in a process goes
 through a remote compile service and costs minutes regardless of program size
 (measured one-time and order-independent — PERF.md "Round-3 levers" 1).  That
-warm-up is paid up front on a tiny dummy program, overlapped with host-side
+warm-up is paid up front on a tiny dummy build, overlapped with host-side
 dataset generation, and reported separately as ``plugin_warmup_s`` — build_s
 then measures what a warm production process pays, which is the number
 comparable to the reference's build times.
@@ -28,9 +43,12 @@ Environment knobs: SVT_BENCH_N (default 100000), SVT_BENCH_DIM (128),
 SVT_BENCH_QUERIES (5000), SVT_BENCH_QB (query batch rows), SVT_BENCH_1M=0
 (skip the 1M scale), SVT_BENCH_BUDGET_S (default 2700: skip the 1M phase if
 the 100k phase already used more than half the budget), SVT_BENCH_SAMPLER=0
-(disable per-query sampled entry points and revert to the medioid entry).
+(disable per-query sampled entry points), SVT_BENCH_LVQ=0 / SVT_BENCH_IVF=0
+(skip those phases), SVT_BENCH_10M=1 (opt-in 10M phase), SVT_BENCH_10M_DIR,
+SVT_BENCH_ROUNDS (timing rounds, default 3).
 """
 
+import gc
 import json
 import os
 import sys
@@ -51,6 +69,18 @@ from scalablevectorsearch_tpu.index.vamana.params import (  # noqa: E402
 # published Pareto claims; no in-tree numbers exist — BASELINE.md).
 BASELINE_QPS = 10_000.0
 
+# TPU v5e chip bounds for the roofline lines (public spec + PERF.md):
+HBM_PEAK_GBPS = 819.0          # v5e HBM bandwidth
+MXU_PEAK_TFLOPS_BF16 = 197.0   # v5e bf16 peak
+ROW_GATHER_NS = 9.5            # measured ~9.5 ns/row for <=512B rows
+                               # regardless of row bytes (PERF.md round 2)
+
+TIMING_ROUNDS = max(1, int(os.environ.get("SVT_BENCH_ROUNDS", 3)))
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
 
 def _plugin_warmup(out):
     """Absorb the one-time remote-compile cost on a TINY REAL build (runs
@@ -69,101 +99,326 @@ def _plugin_warmup(out):
     out["warmup_s"] = time.time() - t0
 
 
-def _build_and_serve(data, queries, k, alpha, windows, label):
-    """Build, pack, sweep windows to recall>=0.9; returns a result dict."""
+def _timed_qps(search_async, queries, k, reps: int = 10,
+               rounds: int = TIMING_ROUNDS):
+    """Median-of-rounds pipelined QPS with min/max (congestion variance is
+    real: the same 1M config measured 52.4k and 109.1k an hour apart —
+    PERF.md; a single sample cannot distinguish noise from regression).
+
+    Throughput rounds pipeline whole search calls (search_async): call
+    N+1's host pad/upload rides the tunnel while call N computes — the TPU
+    analog of the reference's threadpool-saturated QPS measurement
+    (index.h:556-603)."""
+    nq = len(queries)
+    vals = []
+    for _ in range(rounds):
+        t0 = time.time()
+        handles = [search_async(queries, k) for _ in range(reps)]
+        for h in handles:
+            h.result()
+        vals.append(nq * reps / (time.time() - t0))
+    vals.sort()
+    return {"qps": round(float(np.median(vals)), 1),
+            "qps_min": round(vals[0], 1), "qps_max": round(vals[-1], 1),
+            "rounds": rounds}
+
+
+def _latency(search, queries, k, qb_hint: int, min_batches: int = 8):
+    """Per-batch dispatch latency over >= ``min_batches`` EQUAL, WARMED
+    batches (a ragged tail batch is a fresh static shape whose sample would
+    time a remote compile, not a dispatch; one batch makes percentiles
+    decorative — round-3 VERDICT weak-2)."""
+    nq = len(queries)
+    qb = min(qb_hint, max(nq // min_batches, 64))
+    search(queries[:qb], k)            # warm this exact shape
+    lat = []
+    for i in range(nq // qb):
+        batch = queries[i * qb: (i + 1) * qb]
+        if len(batch) < qb:
+            break
+        t1 = time.time()
+        search(batch, k)
+        lat.append((time.time() - t1) * 1e6)
+    return {"p50_us": round(float(np.percentile(lat, 50)), 1),
+            "p95_us": round(float(np.percentile(lat, 95)), 1),
+            "p99_us": round(float(np.percentile(lat, 99)), 1),
+            "batch_queries": qb, "batches": len(lat)}
+
+
+def _serving_roofline(index, queries, k, window: int, qps: float):
+    """Distance of the serving loop from the hardware gather bound.
+
+    Counts pops with an instrumented greedy run at the operating point
+    (SearchOutput.n_pops); each pop gathers one packed super-row of
+    R * d_pad * itemsize bytes.  Reports achieved HBM GB/s on that gather
+    stream vs the v5e peak, and rows/s vs the measured per-row bound
+    (the binding constraint for small unpacked rows; large packed rows are
+    bandwidth-bound instead — PERF.md round 2)."""
+    import jax.numpy as jnp
+
+    from scalablevectorsearch_tpu.index.vamana import search as search_mod
+    from scalablevectorsearch_tpu.lib import datatypes as dt
+
+    b = min(1024, len(queries))
+    q = jnp.asarray(dt.pad_matrix(
+        np.asarray(queries[:b], np.float32), n_pad=dt.pad_to(b, 8),
+        d_pad=index.data.padded_dim))
+    sampler = getattr(index, "_entry_sampler", None)
+    entry_ids = (sampler.select(index.distance, q) if sampler is not None
+                 else jnp.asarray([index.entry_point], jnp.int32))
+    out = search_mod.greedy_search(
+        index.graph, index.data, q, entry_ids, window=window,
+        capacity=max(window, k), distance=index.distance,
+        max_iters=search_mod.default_max_iters(window),
+        pop_width=index.pop_width)
+    pops = float(np.mean(np.asarray(out.n_pops[:b])))
+
+    r = index.graph.max_degree
+    packed = getattr(index, "_packed", None)
+    if packed is not None:
+        # f32 packing is a (cap, R, d) array; LVQ packing a codes struct
+        rows_obj = getattr(packed, "codes", packed)
+        row_bytes = (int(np.prod(rows_obj.shape[1:]))
+                     * rows_obj.dtype.itemsize)
+        rows_per_query = pops                  # one super-row per pop
+    else:
+        row_bytes = index.data.padded_dim * index.data.dtype.itemsize
+        rows_per_query = pops * r              # r neighbor rows per pop
+
+    rows_per_s = qps * rows_per_query
+    gbps = rows_per_s * row_bytes / 1e9
+    row_bound = 1e9 / ROW_GATHER_NS            # rows/s, small-row bound
+    return {
+        "mean_pops_per_query": round(pops, 1),
+        "gather_row_bytes": int(row_bytes),
+        "rows_per_s": round(rows_per_s, 0),
+        "achieved_hbm_gbps": round(gbps, 1),
+        "hbm_peak_gbps": HBM_PEAK_GBPS,
+        "hbm_utilization": round(gbps / HBM_PEAK_GBPS, 4),
+        "row_bound_rows_per_s": round(row_bound, 0),
+        "row_bound_utilization": round(rows_per_s / row_bound, 4),
+    }
+
+
+def _sweep_to_recall(index, queries, gt, k, windows, label,
+                     target: float = 0.9):
+    best = None
+    recall = 0.0
+    for window in windows:
+        index.search_window_size = window
+        res = index.search(queries, k)       # warm compile + measure recall
+        recall = svt.k_recall_at_n(gt, res)
+        _log(f"# {label} window={window} recall@10={recall:.4f}")
+        if recall >= target:
+            best = (window, recall)
+            break
+    if best is None:
+        best = (windows[-1], recall)
+    return best
+
+
+def _vamana_phase(data, queries, gt, k, alpha, windows, label):
+    """Build + pack + sweep + variance-aware QPS + latency + roofline."""
     sampler_on = os.environ.get("SVT_BENCH_SAMPLER", "1") != "0"
     t0 = time.time()
     params = VamanaBuildParameters(alpha=alpha, graph_max_degree=32,
                                    window_size=100,
                                    max_candidate_pool_size=300, prune_to=28)
-    # sampled build entries: ~11% faster builds at equal quality (the
-    # graph then REQUIRES sampled-entry serving, which the bench uses
-    # anyway; measured 100k 39.5 -> 35.1 s, recall -0.002 at equal w)
+    # sampled build entries: ~11% faster builds at equal quality (the graph
+    # then REQUIRES sampled-entry serving, which the bench uses anyway)
     index = VamanaIndex.build(params, data, "l2",
                               sampled_entries=sampler_on)
     if os.environ.get("SVT_BENCH_QB"):
         index.query_batch_size = int(os.environ["SVT_BENCH_QB"])
-    # serving pop_width (SVT_BENCH_POPW): e2e QPS measured FLAT across
-    # m 4-8 at 100k, but m=8 serves +0.03 recall at equal window
-    # (PERF.md round-3 continuation) — the knob lets the driver pick the
-    # operating point without code edits
     if os.environ.get("SVT_BENCH_POPW"):
         index.pop_width = int(os.environ["SVT_BENCH_POPW"])
     build_s = time.time() - t0
-    print(f"# {label} build: {build_s:.1f}s "
-          f"mean_degree={index.graph.mean_degree():.1f}", file=sys.stderr, flush=True)
+    _log(f"# {label} build: {build_s:.1f}s "
+         f"mean_degree={index.graph.mean_degree():.1f}")
 
     if os.environ.get("SVT_BENCH_PACKED", "1") != "0":
-        # packed-neighborhood serving: r-fold fewer HBM row gathers/iter
-        # (the gather is per-row limited on TPU; see PERF.md)
         t0 = time.time()
         index.enable_packed_serving()
-        print(f"# packed neighborhoods: {time.time() - t0:.1f}s",
-              file=sys.stderr, flush=True)
+        _log(f"# packed neighborhoods: {time.time() - t0:.1f}s")
 
-    # per-query sampled entry points (auto-enabled by the sampled build):
-    # one MXU matmul vs a resident auto-scaled sample replaces the
-    # medioid-to-neighborhood walk — ~3x fewer lockstep iterations at
-    # BETTER recall (entry.py; measured 100k: medioid w=24 0.903 @ 27.5
-    # iters vs sampled w=12 0.924 @ 9.5 iters)
+    window, recall = _sweep_to_recall(index, queries, gt, k, windows, label)
+    index.search_window_size = window
+    timing = _timed_qps(index.search_async, queries, k)
+    _log(f"# {label} qps median={timing['qps']:.0f} "
+         f"[{timing['qps_min']:.0f}, {timing['qps_max']:.0f}]")
+    latency = _latency(index.search, queries, k, index.query_batch_size)
+    roofline = _serving_roofline(index, queries, k, window, timing["qps"])
+    _log(f"# {label} roofline: {roofline['achieved_hbm_gbps']:.1f} GB/s "
+         f"({roofline['hbm_utilization']:.1%} of HBM peak), "
+         f"{roofline['mean_pops_per_query']:.1f} pops/query")
+    result = {"build_s": round(build_s, 1), "recall": round(float(recall), 4),
+              "window": window, "latency": latency, "roofline": roofline,
+              **timing}
+    return index, result
 
-    gt = svt.exhaustive_search(data, queries, k)
-    nq = len(queries)
 
+def _lvq8_phase(index, data, queries, gt, k, windows, label):
+    """LVQ8-packed serving over the already-built graph (equal-memory
+    Pareto point; the f32 packed buffers are dropped first — holding both
+    packed layouts exhausts the chip at 1M+, PERF.md)."""
+    from scalablevectorsearch_tpu.quantization.lvq import LVQDataset
+    index.disable_packed_serving()
+    gc.collect()
+    t0 = time.time()
+    lvq = LVQDataset.compress(np.asarray(data, np.float32), bits=8)
+    compress_s = time.time() - t0
+    idx = VamanaIndex(index.graph, lvq, index.entry_point, index.distance,
+                      query_batch_size=index.query_batch_size)
+    if getattr(index, "_entry_sampler", None) is not None:
+        idx.enable_entry_sampler()
+    idx.pop_width = index.pop_width
+    t0 = time.time()
+    idx.enable_packed_serving()
+    _log(f"# {label} lvq8 compress={compress_s:.1f}s "
+         f"pack={time.time() - t0:.1f}s")
+    window, recall = _sweep_to_recall(idx, queries, gt, k, windows,
+                                      f"{label} lvq8")
+    idx.search_window_size = window
+    timing = _timed_qps(idx.search_async, queries, k)
+    _log(f"# {label} lvq8 qps median={timing['qps']:.0f} "
+         f"[{timing['qps_min']:.0f}, {timing['qps_max']:.0f}]")
+    out = {"recall": round(float(recall), 4), "window": window,
+           "compress_s": round(compress_s, 1), **timing}
+    del idx, lvq
+    gc.collect()
+    return out
+
+
+def _ivf_phase(data, queries, gt, k, label):
+    """IVF: k-means training (MXU GEMM roofline) + probe sweep to 0.9."""
+    from scalablevectorsearch_tpu.index.ivf.clustering import Clustering
+    from scalablevectorsearch_tpu.index.ivf.index import IVFIndex
+    from scalablevectorsearch_tpu.index.ivf.params import (
+        IVFBuildParameters, IVFSearchParameters)
+    n, d = data.shape
+    params = IVFBuildParameters(
+        num_centroids=max(64, min(4096, int(np.sqrt(n) * 3))),
+        num_iterations=10, training_fraction=min(1.0, 200_000 / n),
+        is_hierarchical=False)
+    p = params.resolved(n)
+    t0 = time.time()
+    clustering = Clustering.build(p, data)
+    train_s = time.time() - t0
+    # GEMM FLOPs: per-iteration minibatch assignment (2*mb*K*d) + final
+    # full assignment (2*n*K*d); k-means++ seeding excluded (lower bound)
+    flops = 2.0 * p.num_centroids * d * (
+        p.num_iterations * p.minibatch_size + n)
+    tflops = flops / train_s / 1e12
+    gemm = {"train_s": round(train_s, 1),
+            "achieved_tflops": round(tflops, 2),
+            "mxu_peak_tflops_bf16": MXU_PEAK_TFLOPS_BF16,
+            "mxu_utilization": round(tflops / MXU_PEAK_TFLOPS_BF16, 4),
+            "num_centroids": p.num_centroids}
+    _log(f"# {label} ivf train: {train_s:.1f}s K={p.num_centroids} "
+         f"{tflops:.2f} TFLOP/s ({gemm['mxu_utilization']:.1%} of bf16 peak)")
+    index = IVFIndex.assemble_from_clustering(clustering, data, "l2")
     best = None
-    for window in windows:
-        index.search_window_size = window
-        res = index.search(queries, k)       # warm compile + measure recall
+    recall = 0.0
+    for n_probes in (8, 12, 16, 24, 32, 48, 64, 96, 128):
+        if n_probes > index.num_probe_units:
+            break
+        sp = IVFSearchParameters(n_probes=n_probes, k_reorder=1)
+        res = index.search(queries, k, parameters=sp)
         recall = svt.k_recall_at_n(gt, res)
-        # steady-state timing: best of two passes (the remote-TPU tunnel has
-        # run-to-run latency variance; best-of is the stabler estimator).
-        # Throughput passes pipeline whole search calls (search_async):
-        # call N+1's host pad/upload rides the tunnel while call N computes —
-        # the TPU analog of the reference's threadpool-saturated QPS
-        # measurement (index.h:556-603 partitions one batch across threads;
-        # a serving deployment keeps the queue non-empty).
-        # reps amortize the pipeline fill (first call's upload + last
-        # call's readback): measured 100k/w24 QPS 101.6k at reps=4,
-        # 112.8k at 8, 131.4k at 16 vs a 138k no-upload device ceiling
-        reps = 10
-        qps = 0.0
-        for _ in range(2):
-            t0 = time.time()
-            handles = [index.search_async(queries, k) for _ in range(reps)]
-            for h in handles:
-                h.result()
-            qps = max(qps, nq * reps / (time.time() - t0))
-        print(f"# {label} window={window} recall@10={recall:.4f} "
-              f"qps={qps:.0f}", file=sys.stderr, flush=True)
+        _log(f"# {label} ivf n_probes={n_probes} recall@10={recall:.4f}")
         if recall >= 0.9:
-            best = (window, recall, qps)
+            best = (n_probes, recall)
             break
     if best is None:
-        best = (windows[-1], recall, qps)
-    window, recall, qps = best
+        best = (n_probes, recall)
+    n_probes, recall = best
+    sp = IVFSearchParameters(n_probes=n_probes, k_reorder=1)
+    timing = _timed_qps(
+        lambda q, kk: index.search_async(q, kk, parameters=sp), queries, k)
+    _log(f"# {label} ivf qps median={timing['qps']:.0f} "
+         f"[{timing['qps_min']:.0f}, {timing['qps_max']:.0f}]")
+    out = {"recall": round(float(recall), 4), "n_probes": n_probes,
+           "gemm": gemm, **timing}
+    del index, clustering
+    gc.collect()
+    return out
 
-    # per-batch dispatch latency distribution at the operating point
-    # (tail latency is first-class — reference search.h:80,209-218).
-    # Equal-size batches only, warmed once: a ragged tail batch would be a
-    # fresh static shape and its sample would time a remote compile, not a
-    # dispatch.
-    qb = min(index.query_batch_size, nq)
-    index.search(queries[:qb], k)            # warm this exact shape
-    lat = []
-    for i in range(min(nq // qb, 16) or 1):
-        batch = queries[i * qb: (i + 1) * qb]
-        if len(batch) < qb:
-            break
-        t1 = time.time()
-        index.search(batch, k)
-        lat.append((time.time() - t1) * 1e6)
-    latency = {"p50_us": round(float(np.percentile(lat, 50)), 1),
-               "p95_us": round(float(np.percentile(lat, 95)), 1),
-               "p99_us": round(float(np.percentile(lat, 99)), 1),
-               "batch_queries": min(qb, nq)}
-    return {"build_s": round(build_s, 1), "qps": round(qps, 1),
-            "recall": round(float(recall), 4), "window": window,
-            "latency": latency}
+
+DEFAULT_10M_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".bench10m")
+
+
+def _scale_10m(k, alpha):
+    """10M phase (BASELINE configs[2] Deep-10M): sampled-entries build
+    persisted under SVT_BENCH_10M_DIR (default .bench10m/, gitignored) so
+    re-runs skip the ~2700 s build.  Opt-in via SVT_BENCH_10M=1 for the
+    first (building) run; once the persisted index exists the phase runs
+    automatically (assemble + serve is minutes, within the driver budget)."""
+    ck = os.environ.get("SVT_BENCH_10M_DIR", DEFAULT_10M_DIR)
+    n, dim, nq = 10_000_000, 96, 2000
+    q_path = os.path.join(ck, "queries.npy")
+    gt_path = os.path.join(ck, "gt.npy")
+    build_s = None
+    if (os.path.isdir(os.path.join(ck, "index"))
+            and os.path.exists(q_path) and os.path.exists(gt_path)):
+        # fully cached: no 10M datagen needed at all
+        _log(f"# 10M: assembling persisted index from {ck}")
+        queries = np.load(q_path)
+        gt = np.load(gt_path)
+        index = VamanaIndex.assemble(os.path.join(ck, "index"))
+    else:
+        data, queries = svt.generate_test_dataset(n, nq, dim, seed=13)
+        os.makedirs(ck, exist_ok=True)
+        np.save(q_path, queries)
+        if os.path.isdir(os.path.join(ck, "index")):
+            _log(f"# 10M: assembling persisted index from {ck}")
+            index = VamanaIndex.assemble(os.path.join(ck, "index"))
+        else:
+            t0 = time.time()
+            params = VamanaBuildParameters(
+                alpha=alpha, graph_max_degree=32, window_size=100,
+                max_candidate_pool_size=300, prune_to=28)
+            index = VamanaIndex.build(params, data, "l2",
+                                      sampled_entries=True)
+            build_s = time.time() - t0
+            _log(f"# 10M build: {build_s:.1f}s")
+            index.save(os.path.join(ck, "index"))
+        if os.path.exists(gt_path):
+            gt = np.load(gt_path)
+        else:
+            t0 = time.time()
+            gt = np.asarray(svt.exhaustive_search(data, queries, k).ids)
+            _log(f"# 10M exhaustive gt: {time.time() - t0:.1f}s")
+            np.save(gt_path, gt)
+        del data
+        gc.collect()
+    # packed layouts exceed HBM at 10M (PERF.md) — unpacked f32 serving
+    window, recall = _sweep_to_recall(
+        index, queries, gt, k, (12, 14, 16, 20, 24, 32, 48), "10M")
+    index.search_window_size = window
+    timing = _timed_qps(index.search_async, queries, k, reps=4)
+    roofline = _serving_roofline(index, queries, k, window, timing["qps"])
+    out = {"recall": round(float(recall), 4), "window": window,
+           "roofline": roofline, **timing}
+    if build_s is not None:
+        out["build_s"] = round(build_s, 1)
+    else:
+        out["build_s"] = "cached"
+    return out
+
+
+def _run_scale(data, queries, k, alpha, windows, lvq_windows, label):
+    gt = svt.exhaustive_search(data, queries, k)
+    index, head = _vamana_phase(data, queries, gt, k, alpha, windows, label)
+    if os.environ.get("SVT_BENCH_LVQ", "1") != "0":
+        head["lvq8"] = _lvq8_phase(index, data, queries, gt, k, lvq_windows,
+                                   label)
+    del index
+    gc.collect()
+    if os.environ.get("SVT_BENCH_IVF", "1") != "0":
+        head["ivf"] = _ivf_phase(np.asarray(data, np.float32), queries, gt,
+                                 k, label)
+    return head
 
 
 def main():
@@ -181,30 +436,41 @@ def main():
 
     data, queries = svt.generate_test_dataset(n, nq, dim, seed=42)
     warm_thread.join()
-    print(f"# plugin warm-up (one-time, overlapped with datagen): "
-          f"{warm.get('warmup_s', 0):.1f}s", file=sys.stderr, flush=True)
+    _log(f"# plugin warm-up (one-time, overlapped with datagen): "
+         f"{warm.get('warmup_s', 0):.1f}s")
 
     # sampled entries reach recall 0.9 at roughly half the window of the
     # medioid entry (measured: 100k w=12 vs w=24, see entry.py docstring)
     sampler_on = os.environ.get("SVT_BENCH_SAMPLER", "1") != "0"
     head_windows = (11, 12, 13, 14, 16, 20, 24, 32, 48, 64, 96, 128) \
         if sampler_on else (10, 16, 20, 24, 26, 28, 32, 48, 64, 96, 128)
-    head = _build_and_serve(data, queries, k, alpha, head_windows,
-                            f"{n // 1000}k")
+    lvq_windows = (12, 14, 16, 20, 24, 32, 48, 64, 96)
+    head = _run_scale(data, queries, k, alpha, head_windows, lvq_windows,
+                      f"{n // 1000}k")
 
     scale_1m = None
     elapsed = time.time() - started
     if os.environ.get("SVT_BENCH_1M", "1") != "0" and n < 1_000_000 \
             and elapsed < budget_s / 2:
+        del data
+        gc.collect()
         data1, queries1 = svt.generate_test_dataset(1_000_000, 2000, dim,
                                                     seed=7)
-        # sampled entries with the auto sample (7812 at 1M): w=20 measured
-        # recall 0.9677 @ ~100k QPS (S=1024 gave 0.8981 there) — the 0.9
-        # knee sits well below, so sweep from w=12
         windows_1m = (12, 13, 14, 15, 16, 18, 20, 24, 32) if sampler_on \
             else (24, 32, 48, 64)
-        scale_1m = _build_and_serve(data1, queries1, k, alpha,
-                                    windows_1m, "1M")
+        scale_1m = _run_scale(data1, queries1, k, alpha, windows_1m,
+                              lvq_windows, "1M")
+        del data1
+        gc.collect()
+
+    scale_10m = None
+    ck_10m = os.environ.get("SVT_BENCH_10M_DIR", DEFAULT_10M_DIR)
+    want_10m = os.environ.get("SVT_BENCH_10M", "0") == "1" or (
+        os.environ.get("SVT_BENCH_10M", "") != "0"
+        and os.path.isdir(os.path.join(ck_10m, "index"))
+        and time.time() - started < budget_s * 0.8)
+    if want_10m:
+        scale_10m = _scale_10m(k, alpha)
 
     out = {
         "metric": f"vamana_qps_at_recall0.9 (n={n}, d={dim}, "
@@ -213,14 +479,18 @@ def main():
         "value": head["qps"],
         "unit": "qps",
         "vs_baseline": round(head["qps"] / BASELINE_QPS, 4),
-        "build_s": head["build_s"],
-        "recall": head["recall"],
-        "window": head["window"],
-        "latency": head["latency"],
         "plugin_warmup_s": round(warm.get("warmup_s", 0.0), 1),
+        **{key: head[key] for key in
+           ("build_s", "recall", "window", "latency", "qps_min", "qps_max",
+            "roofline") if key in head},
     }
+    for key in ("lvq8", "ivf"):
+        if key in head:
+            out[key] = head[key]
     if scale_1m is not None:
         out["scale_1m"] = scale_1m
+    if scale_10m is not None:
+        out["scale_10m"] = scale_10m
     print(json.dumps(out))
 
 

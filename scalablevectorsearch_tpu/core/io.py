@@ -76,6 +76,53 @@ def read_vecs(path: str, dtype=None, max_rows: Optional[int] = None) -> np.ndarr
     return rows[:, 4:].copy().view(dt).reshape(n, dim)
 
 
+def probe_vecs_shape(path: str, dtype=None) -> tuple:
+    """(n, dim) of a ``*vecs`` file from its header + size — no payload
+    read (streamed loaders size their shards from this)."""
+    dt = _vecs_dtype(path, dtype)
+    with open(path, "rb") as f:
+        prefix = np.fromfile(f, dtype="<i4", count=1)
+        if prefix.size == 0:
+            return 0, 0
+        dim = int(prefix[0])
+        if dim <= 0:
+            raise ValueError(f"invalid vecs dimension prefix {dim} in {path}")
+        f.seek(0, os.SEEK_END)
+        size = f.tell()
+    row_bytes = 4 + dim * dt.itemsize
+    if size % row_bytes != 0:
+        raise ValueError(
+            f"{path}: file size {size} is not a multiple of row size "
+            f"{row_bytes} (dim={dim}, dtype={dt})")
+    return size // row_bytes, dim
+
+
+def read_vecs_rows(path: str, start: int, count: int,
+                   dtype=None) -> np.ndarray:
+    """Read rows [start, start+count) of a ``*vecs`` file.
+
+    Row-block streaming primitive: shard-at-load paths
+    (``parallel.sharded.shard_dataset_from_file``) read a huge file in
+    bounded blocks and never materialize the whole array on the host
+    (SURVEY §7 step 8 / Deep-100M feasibility)."""
+    dt = _vecs_dtype(path, dtype)
+    n, dim = probe_vecs_shape(path, dtype)
+    if start < 0 or start > n:
+        raise ValueError(f"row start {start} outside [0, {n}]")
+    count = max(0, min(count, n - start))
+    if count == 0:
+        return np.empty((0, dim), dtype=dt)
+    row_bytes = 4 + dim * dt.itemsize
+    with open(path, "rb") as f:
+        f.seek(start * row_bytes)
+        raw = np.fromfile(f, dtype=np.uint8, count=count * row_bytes)
+    rows = raw.reshape(count, row_bytes)
+    dims = rows[:, :4].copy().view("<i4").ravel()
+    if not np.all(dims == dim):
+        raise ValueError(f"{path}: non-uniform row dimensions")
+    return rows[:, 4:].copy().view(dt).reshape(count, dim)
+
+
 def write_vecs(path: str, data: np.ndarray, dtype=None) -> None:
     """Write an (n, dim) array in ``*vecs`` format."""
     dt = _vecs_dtype(path, dtype if dtype is not None else data.dtype)

@@ -6,14 +6,21 @@ clustering, mutable posting lists, external-id translation.
 
 The uniform padded-cluster layout makes mutation cheap and device-friendly:
 
-* **add**: one centroid matmul assigns each new point; free slots inside the
-  target cluster's padded range are filled by a host-side free-list +
-  ``scatter_rows`` (the analog of the reference's per-cluster blocked
-  resize, dynamic_ivf.h:889-996); when a cluster is full, the whole layout
-  is repacked with a larger slot (rare, amortized);
+* **add**: one centroid matmul assigns each new point; free slots are
+  claimed by a fully vectorized sort-by-cluster + segment-rank mapping
+  (no per-point host loops — the same trick as the Vamana build's
+  reverse-edge pass);
+* **per-cluster growth**: when a cluster runs out of free slots it gains
+  additional *probe units* — fixed-``slot``-row blocks appended to the
+  layout whose centroid rows replicate the owning cluster's centroid
+  (the dynamic analog of the static index's chunked postings, and the
+  TPU answer to the reference's per-cluster blocked resize,
+  dynamic_ivf.h:889-996).  Only the overflowing cluster pays; the rest of
+  the layout is untouched and ``slot`` stays static for the scan kernel;
 * **delete**: a slot becomes padding again (id -> -1, norm -> +inf) — the
   scan kernel's masking makes deletion free at search time;
-* **compact**: repack clusters densely to the minimal aligned slot.
+* **compact**: repack clusters densely to the minimal aligned slot
+  (collapses multi-unit clusters back to one unit each).
 """
 
 from __future__ import annotations
@@ -52,8 +59,7 @@ class DynamicIVFIndex:
         if centroids.shape[1] < d_pad:
             centroids = np.pad(centroids,
                                ((0, 0), (0, d_pad - centroids.shape[1])))
-        self.centroids = jnp.asarray(centroids)
-        self.centroid_norms = jnp.sum(self.centroids ** 2, axis=-1)
+        self._base_centroids = centroids      # (k, d_pad) logical centroids
 
         assign = np.asarray(clustering.assignments)
         sizes = np.bincount(assign, minlength=self.k)
@@ -62,9 +68,11 @@ class DynamicIVFIndex:
 
     # -- layout --------------------------------------------------------------
     def _init_layout(self, x, external_ids, assign, slot: int):
-        """(Re)pack points into a padded layout with the given slot size."""
+        """(Re)pack points into a padded layout with the given slot size,
+        one probe unit per logical cluster."""
         k = self.k
         self.slot = slot
+        self.unit_owner = np.arange(k, dtype=np.int32)  # unit -> cluster
         total = k * slot
         order = np.argsort(assign, kind="stable")
         sizes = np.bincount(assign, minlength=k)
@@ -84,7 +92,7 @@ class DynamicIVFIndex:
         self.data = dataclasses.replace(
             self.data, norms_sq=jnp.where(jnp.asarray(occupied),
                                           self.data.norms_sq, jnp.inf))
-        self._fill = sizes.astype(np.int64)          # per-cluster live count
+        self._fill = sizes.astype(np.int64)          # per-UNIT live count
         self._occupied = occupied                    # host mirror
         self.translator = IDTranslator(total)
         self.translator.insert(external_ids[order], pos)
@@ -93,6 +101,33 @@ class DynamicIVFIndex:
         ids_padded = np.full(total, -1, dtype=np.int32)
         ids_padded[pos] = pos.astype(np.int32)
         self.ids_padded = jnp.asarray(ids_padded)
+        self._upload_unit_centroids()
+
+    def _upload_unit_centroids(self) -> None:
+        """(Re)build the per-probe-unit centroid rows on device."""
+        units = self._base_centroids[self.unit_owner]
+        self.centroids = jnp.asarray(units)
+        self.centroid_norms = jnp.sum(self.centroids ** 2, axis=-1)
+
+    def _add_units(self, per_cluster: np.ndarray) -> None:
+        """Append ``per_cluster[c]`` empty probe units for each cluster c —
+        per-cluster growth: only overflowing clusters pay, no repack."""
+        new_owners = np.repeat(np.arange(self.k, dtype=np.int32),
+                               per_cluster)
+        if new_owners.size == 0:
+            return
+        self.unit_owner = np.concatenate([self.unit_owner, new_owners])
+        grow = new_owners.size * self.slot
+        total = self.unit_owner.size * self.slot
+        self.data = self.data.with_capacity(total)
+        self.ids_padded = jnp.pad(self.ids_padded,
+                                  (0, total - self.ids_padded.shape[0]),
+                                  constant_values=-1)
+        self._occupied = np.concatenate(
+            [self._occupied, np.zeros(grow, dtype=bool)])
+        self._fill = np.concatenate(
+            [self._fill, np.zeros(new_owners.size, dtype=np.int64)])
+        self._upload_unit_centroids()
 
     # -- properties --------------------------------------------------------------
     @property
@@ -105,7 +140,15 @@ class DynamicIVFIndex:
 
     @property
     def num_centroids(self) -> int:
+        """Logical cluster count (fixed at construction)."""
         return self.k
+
+    @property
+    def num_probe_units(self) -> int:
+        """Probe units = centroid rows; grows past ``num_centroids`` when
+        clusters overflow (n_probes counts these, like the static chunked
+        layout)."""
+        return self.unit_owner.size
 
     def all_ids(self) -> np.ndarray:
         return np.sort(self.translator.all_external_ids())
@@ -131,7 +174,7 @@ class DynamicIVFIndex:
         from ..vamana.index import PendingSearch
         from ...lib.exceptions import check_cancel
         params = parameters or IVFSearchParameters()
-        n_probes = min(params.n_probes, self.k)
+        n_probes = min(params.n_probes, self.num_probe_units)
         keep = max(k * params.k_reorder, k)
         sub = min(self.scan_subtile, self.slot)
         while self.slot % sub != 0:
@@ -175,20 +218,48 @@ class DynamicIVFIndex:
 
     # -- mutation -----------------------------------------------------------------
     def add_points(self, points, external_ids) -> None:
+        """Bulk insert — fully vectorized (no per-point host work).
+
+        Free slots are claimed by sorting both the new points and the free
+        list by owning cluster and aligning them with segment ranks — the
+        same sort + segment-rank formulation as the Vamana build's
+        reverse-edge pass.  Clusters without enough free slots first gain
+        whole probe units (:meth:`_add_units`); the reference instead grows
+        per-cluster blocked arrays (dynamic_ivf.h:889-996)."""
         points = np.asarray(points, dtype=np.float32)
         external_ids = np.asarray(external_ids, dtype=np.int64)
-        assign = assign_full(points, np.asarray(self.centroids)[:, :self._d])
+        assign = assign_full(points,
+                             self._base_centroids[:, : self._d]).astype(
+                                 np.int64)
         need = np.bincount(assign, minlength=self.k)
-        if np.any(self._fill + need > self.slot):
-            self._regrow(int((self._fill + need).max() * 1.5))
-        slots = np.empty(points.shape[0], dtype=np.int64)
-        for i, c in enumerate(assign):
-            base = c * self.slot
-            # first free slot inside cluster c's range
-            free = np.nonzero(~self._occupied[base: base + self.slot])[0]
-            slots[i] = base + free[0]
-            self._occupied[slots[i]] = True
-            self._fill[c] += 1
+        free_mask = ~self._occupied
+        owners_all = np.repeat(self.unit_owner.astype(np.int64), self.slot)
+        free_per_cluster = np.bincount(owners_all[free_mask],
+                                       minlength=self.k)
+        deficit = need - free_per_cluster
+        if np.any(deficit > 0):
+            self._add_units(np.ceil(np.maximum(deficit, 0)
+                                    / self.slot).astype(np.int64))
+            free_mask = ~self._occupied
+            owners_all = np.repeat(self.unit_owner.astype(np.int64),
+                                   self.slot)
+
+        # free slots grouped by owning cluster (stable: position order kept)
+        free = np.flatnonzero(free_mask)
+        owners = owners_all[free]
+        by_owner = np.argsort(owners, kind="stable")
+        free, owners = free[by_owner], owners[by_owner]
+
+        order = np.argsort(assign, kind="stable")
+        sa = assign[order]
+        rank = np.arange(sa.size) - np.searchsorted(sa, sa)
+        slots_sorted = free[np.searchsorted(owners, sa) + rank]
+        slots = np.empty(sa.size, dtype=np.int64)
+        slots[order] = slots_sorted
+
+        self._occupied[slots] = True
+        self._fill += np.bincount(slots // self.slot,
+                                  minlength=self._fill.size)
         self.translator.insert(external_ids, slots)
         rows = jnp.asarray(dt.pad_matrix(points, n_pad=points.shape[0],
                                          d_pad=self.data.padded_dim))
@@ -199,23 +270,25 @@ class DynamicIVFIndex:
     def delete_points(self, external_ids) -> None:
         slots = self.translator.remove(external_ids)
         self._occupied[slots] = False
-        clusters = (slots // self.slot).astype(np.int64)
-        for c in clusters:
-            self._fill[c] -= 1
+        self._fill -= np.bincount(slots // self.slot,
+                                  minlength=self._fill.size)
         self.ids_padded = self.ids_padded.at[jnp.asarray(slots)].set(-1)
         self.data = dataclasses.replace(
             self.data, norms_sq=self.data.norms_sq.at[jnp.asarray(slots)]
             .set(jnp.inf))
 
     def compact(self) -> None:
-        """Repack to the minimal aligned slot size."""
-        self._regrow(int(self._fill.max()))
+        """Repack to the minimal aligned slot size, collapsing multi-unit
+        clusters back to one probe unit each."""
+        cluster_fill = np.bincount(self.unit_owner, weights=self._fill,
+                                   minlength=self.k).astype(np.int64)
+        self._repack(int(cluster_fill.max()))
 
-    def _regrow(self, min_slot: int) -> None:
+    def _repack(self, min_slot: int) -> None:
         live = np.nonzero(self._occupied)[0]
         ext = self.translator.to_external(live)
         x = np.asarray(self.data.vectors)[live][:, : self._d]
-        assign = (live // self.slot).astype(np.int32)
+        assign = self.unit_owner[(live // self.slot)].astype(np.int64)
         self._init_layout(x, ext, assign, int(dt.pad_to(max(min_slot, 8), 8)))
 
     def consolidate(self) -> None:

@@ -28,7 +28,7 @@ class IVFBatchIterator:
         self._base = base_probes
         self._step = probe_step
         self._iteration = 0
-        self._yielded: set[int] = set()
+        self._yielded = np.empty(0, dtype=np.int64)   # sorted
         self._exhausted = False
 
     @property
@@ -42,33 +42,34 @@ class IVFBatchIterator:
         if query is not None:
             self._query = np.asarray(query, np.float32).reshape(1, -1)
         self._iteration = 0
-        self._yielded.clear()
+        self._yielded = np.empty(0, dtype=np.int64)
         self._exhausted = False
 
     def next(self, batch_size: Optional[int] = None) -> QueryResult:
         m = batch_size or self._batch_size
         probes = min(self._base + self._step * self._iteration,
                      self._index.num_centroids)
-        fetch = len(self._yielded) + m
+        fetch = self._yielded.size + m
         res = self._index.search(
             self._query, fetch,
             IVFSearchParameters(n_probes=probes))
-        fresh_ids, fresh_vals = [], []
-        for i, v in zip(res.ids[0], res.distances[0]):
-            if i < 0 or int(i) in self._yielded:
-                continue
-            fresh_ids.append(int(i))
-            fresh_vals.append(float(v))
-            if len(fresh_ids) == m:
-                break
+        # vectorized not-yet-yielded filter (deep pages fetch thousands)
+        ids = np.asarray(res.ids[0], dtype=np.int64)
+        vals = np.asarray(res.distances[0], dtype=np.float32)
+        valid = ids >= 0
+        if self._yielded.size:
+            valid &= ~np.isin(ids, self._yielded, assume_unique=False)
+        pick = np.flatnonzero(valid)[:m]
+        fresh_ids, fresh_vals = ids[pick], vals[pick]
         self._iteration += 1
-        if len(fresh_ids) < m:
-            self._exhausted = (len(fresh_ids) == 0
+        if fresh_ids.size < m:
+            self._exhausted = (fresh_ids.size == 0
                                and probes >= self._index.num_centroids) or \
-                (len(self._yielded) + len(fresh_ids) >= self._index.size)
-        self._yielded.update(fresh_ids)
-        pad = m - len(fresh_ids)
+                (self._yielded.size + fresh_ids.size >= self._index.size)
+        self._yielded = np.union1d(self._yielded, fresh_ids)
+        pad = m - fresh_ids.size
         return QueryResult(
-            ids=np.array(fresh_ids + [-1] * pad, dtype=np.int64)[None, :],
-            distances=np.array(fresh_vals + [np.inf] * pad,
-                               dtype=np.float32)[None, :])
+            ids=np.concatenate([fresh_ids,
+                                np.full(pad, -1, np.int64)])[None, :],
+            distances=np.concatenate(
+                [fresh_vals, np.full(pad, np.inf, np.float32)])[None, :])

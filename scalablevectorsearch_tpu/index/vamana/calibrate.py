@@ -4,11 +4,27 @@ Analog of the reference's ``calibrate`` (``include/svs/index/vamana/
 calibrate.h``, algorithm notes at :37-64): given calibration queries and
 ground truth, find the cheapest search configuration reaching a target
 recall.  The reference binary-searches ``search_window_size``, then optimizes
-the split buffer (window vs total capacity) and prefetchers by measured QPS;
-prefetch knobs have no TPU meaning, so calibration here is the window binary
-search followed by a window/capacity split optimization: a smaller pop
-horizon with a larger retention capacity often reaches the same recall with
-fewer expansions (calibrate.h's ``SearchBufferOptimization::All`` axis).
+the split buffer (window vs total capacity) and the prefetchers by measured
+QPS.  Prefetch knobs have no TPU meaning; the axes that actually move TPU
+QPS (PERF.md) are calibrated instead:
+
+* **window** — binary search per pop_width (multi-pop reaches a target
+  recall at smaller windows: m=8 is ~2 windows earlier at equal QPS);
+* **window/capacity split** — including sub-k pop horizons with k-floored
+  retention (the round-3 serving operating points) and widened retention
+  for reranking datasets;
+* **pop_width** — beam entries expanded per lockstep iteration;
+* **tail_frac** — lockstep tail compaction;
+* **packed serving** — bf16 packed neighborhoods (recall is re-measured
+  packed: packing changes scoring precision, so feasibility cannot be
+  assumed from the unpacked run);
+* **visited_set** — optional exact visited filter (off by default, like
+  the reference).
+
+Reranking-awareness (the reference's ``calibration_uses_reranking`` CPO,
+extensions.h:598): for two-level datasets the retained capacity IS the
+rerank pool, so capacity multipliers are probed as a first-class axis
+rather than trimmed.
 """
 
 from __future__ import annotations
@@ -34,29 +50,93 @@ class CalibrationParameters:
     # search (reference optimizes buffer capacity as a separate axis)
     trim_capacity: bool = True
     timing_reps: int = 2
+    # TPU-specific axes (PERF.md measured levers)
+    pop_widths: tuple = (4, 8)
+    tail_fracs: tuple = (4,)
+    capacity_multipliers: tuple = (1, 2)
+    try_packed: bool = True
+    try_visited_set: bool = False
+
+
+@dataclasses.dataclass
+class CalibrationResult:
+    """Winning configuration + what was measured."""
+
+    search_parameters: VamanaSearchParameters
+    pop_width: int
+    tail_frac: int
+    packed: bool
+    qps: float
+    recall: float
+    trials: int
 
 
 def calibrate(index, queries, groundtruth, k: int, target_recall: float,
               parameters: Optional[CalibrationParameters] = None
               ) -> VamanaSearchParameters:
-    """Find the cheapest search parameters reaching ``target_recall``.
+    """Find the cheapest search configuration reaching ``target_recall``.
 
-    Returns the calibrated VamanaSearchParameters (also set on the index).
+    Sets the winner on the index (search_parameters + pop_width +
+    tail_frac + packed serving) and returns the calibrated
+    ``VamanaSearchParameters``; the full measurement record is available
+    via :func:`calibrate_full`.
     """
+    return calibrate_full(index, queries, groundtruth, k, target_recall,
+                          parameters).search_parameters
+
+
+def calibrate_full(index, queries, groundtruth, k: int,
+                   target_recall: float,
+                   parameters: Optional[CalibrationParameters] = None
+                   ) -> CalibrationResult:
     params = parameters or CalibrationParameters()
     queries = np.asarray(queries)
     gt = np.asarray(getattr(groundtruth, "ids", groundtruth))
+    trials = [0]
 
-    def recall_at(window: int, capacity: Optional[int] = None) -> float:
-        sp = VamanaSearchParameters(
-            buffer_config=SearchBufferConfig(
-                window, capacity if capacity is not None else window))
-        res = index.search(queries, k, parameters=sp)
+    has_pop = hasattr(index, "pop_width")
+    has_tail = hasattr(index, "tail_frac")
+    pop_widths = tuple(params.pop_widths) if has_pop else (None,)
+    tail_fracs = tuple(params.tail_fracs) if has_tail else (None,)
+
+    # packed bf16 neighborhoods change scoring precision -> an outer axis,
+    # with recall re-measured per packed state
+    packed_states = [getattr(index, "_packed", None) is not None]
+    if (params.try_packed and not packed_states[0]
+            and hasattr(index, "enable_packed_serving")):
+        # mirror enable_packed_serving's support guard without paying the
+        # packing cost up front: uncompressed VectorDataset or LVQ
+        from ...quantization.lvq import LVQDataset
+        packable = isinstance(index.data, LVQDataset) or (
+            hasattr(index.data, "vectors")
+            and not getattr(index.data, "residual_bits", 0))
+        if packable:
+            packed_states.append(True)
+
+    def set_state(m, tf, packed):
+        if m is not None:
+            index.pop_width = m
+        if tf is not None:
+            index.tail_frac = tf
+        if packed and getattr(index, "_packed", None) is None:
+            index.enable_packed_serving()
+        elif not packed and getattr(index, "_packed", None) is not None:
+            index.disable_packed_serving()
+
+    def sp_for(window: int, capacity: int,
+               visited: bool = False) -> VamanaSearchParameters:
+        return VamanaSearchParameters(
+            buffer_config=SearchBufferConfig(window, max(capacity, window)),
+            visited_set=visited)
+
+    def recall_at(window: int, capacity: int, visited=False) -> float:
+        trials[0] += 1
+        res = index.search(queries, k, parameters=sp_for(window, capacity,
+                                                         visited))
         return k_recall_at_n(gt, res, n=k, k=k)
 
-    def qps_at(window: int, capacity: int) -> float:
-        sp = VamanaSearchParameters(
-            buffer_config=SearchBufferConfig(window, capacity))
+    def qps_at(window: int, capacity: int, visited=False) -> float:
+        sp = sp_for(window, capacity, visited)
         index.search(queries, k, parameters=sp)  # warm the compile cache
         t0 = time.perf_counter()
         for _ in range(params.timing_reps):
@@ -64,46 +144,80 @@ def calibrate(index, queries, groundtruth, k: int, target_recall: float,
         dt = time.perf_counter() - t0
         return len(queries) * params.timing_reps / max(dt, 1e-9)
 
-    lo = max(params.search_window_lower, k)
-    hi = max(params.search_window_upper, lo)
-    if recall_at(hi) < target_recall:
-        best = hi  # unreachable target: return the best effort
-        calibrated = VamanaSearchParameters(
-            buffer_config=SearchBufferConfig(best, best))
-        index.search_parameters = calibrated
-        return calibrated
+    lo0 = max(params.search_window_lower, 1)
+    hi0 = max(params.search_window_upper, lo0)
+    # two-level datasets rerank from the retained capacity; keep the
+    # widened-retention probes even when trim_capacity is off
+    reranking = bool(getattr(index.data, "residual_bits", 0)) or \
+        getattr(index, "rerank_data", None) is not None
+    visited_states = (False, True) if params.try_visited_set else (False,)
 
-    # binary search for the smallest window hitting the target
-    best = hi
-    trials = 0
-    while lo <= hi and trials < params.max_window_trials:
-        mid = (lo + hi) // 2
-        if recall_at(mid) >= target_recall:
-            best = mid
-            hi = mid - 1
-        else:
-            lo = mid + 1
-        trials += 1
+    best = None   # (qps, window, capacity, m, tf, packed, visited, recall)
 
-    best_cfg = (best, best)
-    if params.trim_capacity and best > k:
-        # window/capacity split: smaller pop horizon, larger retention.
-        # Feasibility per window = smallest capacity (among a doubling probe)
-        # that still reaches the target; winner = measured QPS.
-        best_qps = qps_at(*best_cfg)
-        for window in {max(k, best // 2), max(k, (3 * best) // 4)}:
-            if window >= best:
-                continue
-            for capacity in (best, 2 * best):
-                if capacity < window:
-                    continue
-                if recall_at(window, capacity) >= target_recall:
-                    q = qps_at(window, capacity)
-                    if q > best_qps:
-                        best_qps, best_cfg = q, (window, capacity)
-                    break  # smallest feasible capacity for this window
+    for packed in packed_states:
+        for m in pop_widths:
+            for tf in tail_fracs:
+                set_state(m, tf, packed)
+                for visited in visited_states:
+                    # 1) binary-search the smallest feasible window with
+                    #    k-floored retention (sub-k windows are reachable)
+                    lo, hi = lo0, hi0
+                    if recall_at(hi, max(hi, k), visited) < target_recall:
+                        continue  # unreachable on this axis combo
+                    w_best = hi
+                    t = 0
+                    while lo <= hi and t < params.max_window_trials:
+                        mid = (lo + hi) // 2
+                        if recall_at(mid, max(mid, k),
+                                     visited) >= target_recall:
+                            w_best = mid
+                            hi = mid - 1
+                        else:
+                            lo = mid + 1
+                        t += 1
+                    feasible = [(w_best, max(w_best, k))]
+                    # 2) split probes: smaller pop horizon + larger
+                    #    retention (rerank-aware: capacity IS the rerank
+                    #    pool for two-level datasets)
+                    if params.trim_capacity or reranking:
+                        mults = params.capacity_multipliers
+                        if reranking and 3 not in mults:
+                            mults = tuple(mults) + (3,)
+                        for w2 in sorted({max(1, w_best // 2),
+                                          max(1, (3 * w_best) // 4)}):
+                            if w2 >= w_best:
+                                continue
+                            for mult in mults:
+                                cap = max(k, mult * w_best)
+                                if cap < w2:
+                                    continue
+                                if recall_at(w2, cap,
+                                             visited) >= target_recall:
+                                    feasible.append((w2, cap))
+                                    break  # smallest feasible retention
+                    # 3) measured-QPS winner among feasible configs
+                    for (w, cap) in feasible:
+                        q = qps_at(w, cap, visited)
+                        if best is None or q > best[0]:
+                            best = (q, w, cap, m, tf, packed, visited,
+                                    recall_at(w, cap, visited))
 
-    calibrated = VamanaSearchParameters(
-        buffer_config=SearchBufferConfig(*best_cfg))
-    index.search_parameters = calibrated
-    return calibrated
+    if best is None:
+        # unreachable target everywhere: best effort at the upper window
+        # on the default axes (reference behavior: widest feasible)
+        set_state(pop_widths[0], tail_fracs[0], packed_states[0])
+        cfg = sp_for(hi0, max(hi0, k))
+        index.search_parameters = cfg
+        return CalibrationResult(
+            search_parameters=cfg,
+            pop_width=pop_widths[0] or 0, tail_frac=tail_fracs[0] or 0,
+            packed=packed_states[0], qps=0.0,
+            recall=recall_at(hi0, max(hi0, k)), trials=trials[0])
+
+    q, w, cap, m, tf, packed, visited, rec = best
+    set_state(m, tf, packed)
+    cfg = sp_for(w, cap, visited)
+    index.search_parameters = cfg
+    return CalibrationResult(
+        search_parameters=cfg, pop_width=m or 0, tail_frac=tf or 0,
+        packed=packed, qps=q, recall=rec, trials=trials[0])

@@ -293,9 +293,15 @@ class MutableVamanaIndex:
         # deleted entries occupy beam slots until consolidation; widen the
         # retained capacity so k live results survive extraction
         # sub-k pop horizons are legal (capacity, not window, guarantees k
-        # results — see index.py search_async and search_buffer.h:39)
+        # results — see index.py search_async and search_buffer.h:39);
+        # single-arg configs keep the reference's k-floor (index.h:582)
+        # clamp to the traversable slot count (k > n pads result columns;
+        # see index.py search_async)
+        k_eff = min(k, self.data.n)
         window = max(cfg.search_window_size, 1)
-        capacity = max(cfg.search_buffer_capacity, window, 2 * k)
+        if cfg.capacity_defaulted and cfg.search_buffer_capacity < k_eff:
+            window = k_eff
+        capacity = max(cfg.search_buffer_capacity, window, 2 * k_eff)
         max_iters = params.resolved_max_iters()
         visited_size = (self.pop_width * max_iters
                         if params.visited_set else 0)
@@ -311,8 +317,8 @@ class MutableVamanaIndex:
         entry_ids = jnp.asarray([self.entry_point], dtype=jnp.int32)
         packed = self._ensure_packed()
         sampler, n_entries = self._ensure_sampler()
-        out_ids = np.empty((nq, k), dtype=np.int64)
-        out_vals = np.empty((nq, k), dtype=np.float32)
+        out_ids = np.full((nq, k), -1, dtype=np.int64)
+        out_vals = np.full((nq, k), np.inf, dtype=np.float32)
         # one host-side pad, then per-batch ASYNC uploads (batch i+1's
         # transfer overlaps batch i's compute); per batch, one fused
         # dispatch (search + deleted-drop + key conversion); all
@@ -330,7 +336,7 @@ class MutableVamanaIndex:
             ids, vals = _dyn_search_batch(
                 self.graph, self.data, packed, self.deleted_mask, sampler,
                 q_i, entry_ids,
-                k=k, window=window, capacity=capacity,
+                k=k_eff, window=window, capacity=capacity,
                 max_iters=max_iters, distance=self.distance,
                 pop_width=self.pop_width, tail_frac=self.tail_frac,
                 visited_size=visited_size, n_entries=n_entries)

@@ -148,6 +148,10 @@ class EntrySampler:
         init = (jnp.full((b,), jnp.inf, jnp.float32),
                 jnp.full((b,), -1, jnp.int32))
         (_, best_id), _ = jax.lax.scan(step, init, xs)
+        # all-invalid degenerate case: the one-shot path's argmin over an
+        # all-inf panel returns slot 0's id; match it (a raw -1 would wrap
+        # to the last data row in greedy_search seeding)
+        best_id = jnp.where(best_id < 0, self.ids[0], best_id)
         return best_id[:, None]
 
 

@@ -83,8 +83,11 @@ class PendingSearch:
             slots = np.asarray(ids_k)[: stop - start]
             if self.translate_ids is not None:
                 slots = self.translate_ids(slots)
-            self.out_ids[start:stop] = slots
-            self.out_vals[start:stop] = np.asarray(vals_k)[: stop - start]
+            # width-aware: k may exceed the dispatch width (k > n clamps
+            # the beam; the extra columns keep their -1 / +inf prefill)
+            self.out_ids[start:stop, : slots.shape[1]] = slots
+            self.out_vals[start:stop, : slots.shape[1]] = \
+                np.asarray(vals_k)[: stop - start]
         self.pending = []
         return QueryResult(ids=self.out_ids, distances=self.out_vals)
 
@@ -383,9 +386,20 @@ class VamanaIndex:
         # its buffer returns k from capacity while window bounds
         # exploration).  Sub-k windows trade recall for fewer lockstep
         # iterations; with multi-pop + sampled entries the recall surplus
-        # makes that a live serving operating point (PERF.md).
+        # makes that a live serving operating point (PERF.md).  Single-arg
+        # configs (capacity defaulted from the window) keep the reference's
+        # k-floor on BOTH (index.h:582 resets both to num_neighbors) — only
+        # an explicit window/capacity split opts into sub-k exploration.
+        # k can exceed the dataset (reference: trailing invalid neighbors);
+        # the beam only ever holds n distinct rows, so dispatch at the
+        # clamped width and pad the result columns (an unclamped k=10^5
+        # would size the beam kernel's VMEM footprint off a number that
+        # has no effect on the answer)
+        k_eff = min(k, self.size)
         window = max(cfg.search_window_size, 1)
-        capacity = max(cfg.search_buffer_capacity, window, k)
+        if cfg.capacity_defaulted and cfg.search_buffer_capacity < k_eff:
+            window = k_eff
+        capacity = max(cfg.search_buffer_capacity, window, k_eff)
         # Two-level compressed datasets traverse on the coarse primary and
         # rerank the retained beam with the residual-corrected
         # reconstruction; retain 2x the window by default so the rerank has
@@ -409,8 +423,8 @@ class VamanaIndex:
             raise ValueError(f"query dim {dim} != dataset dim {self.data.dim}")
         plan = _BatchPlan.plan(nq, self.query_batch_size)
         entry_ids = jnp.asarray([self.entry_point], dtype=jnp.int32)
-        out_ids = np.empty((nq, k), dtype=np.int64)
-        out_vals = np.empty((nq, k), dtype=np.float32)
+        out_ids = np.full((nq, k), -1, dtype=np.int64)
+        out_vals = np.full((nq, k), np.inf, dtype=np.float32)
         rerank_view = self.data.full_view() if two_level else None
         # ONE host-side pad of the whole query set, then per-batch ASYNC
         # uploads: batch i+1's transfer rides the tunnel while batch i
@@ -431,7 +445,7 @@ class VamanaIndex:
             ids_k, vals_k = _search_batch(
                 self.graph, self.data, self._packed, rerank_view,
                 self._entry_sampler, q_i, entry_ids,
-                k=k, window=window, capacity=capacity,
+                k=k_eff, window=window, capacity=capacity,
                 max_iters=max_iters, distance=self.distance,
                 tail_frac=self.tail_frac, visited_size=visited_size,
                 two_level=two_level, n_entries=self._entry_n,

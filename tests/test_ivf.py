@@ -249,22 +249,78 @@ class TestDynamicIVF:
                                 IVFSearchParameters(n_probes=32))
         ref.check_ids(res)
 
-    def test_regrow_on_cluster_overflow(self, rng):
+    def test_per_cluster_growth_on_overflow(self, rng):
+        """Overflowing ONE cluster grows only that cluster (extra probe
+        units), never repacks the layout (reference per-cluster blocked
+        resize, dynamic_ivf.h:889-996)."""
         from scalablevectorsearch_tpu.index.ivf.dynamic import DynamicIVF
+        from scalablevectorsearch_tpu.index.ivf.params import (
+            IVFSearchParameters)
         x = rng.normal(size=(200, 16)).astype(np.float32)
         params = IVFBuildParameters(num_centroids=4, num_iterations=3,
                                     training_fraction=1.0,
                                     is_hierarchical=False)
         div = DynamicIVF.build(params, x, np.arange(200), "l2")
-        slot_before = div._index.slot
+        idx = div._index
+        slot_before, units_before = idx.slot, idx.num_probe_units
+        assert units_before == 4
         # add many near-identical points -> all land in one cluster
         burst = (x[0] + rng.normal(scale=0.01, size=(3 * slot_before, 16))
                  ).astype(np.float32)
         div.add_points(burst, np.arange(1000, 1000 + burst.shape[0]))
-        assert div._index.slot > slot_before
+        assert idx.slot == slot_before           # layout NOT repacked
+        assert idx.num_probe_units > units_before
+        assert idx.num_centroids == 4            # logical count unchanged
+        # only the hot cluster gained units
+        grown = np.bincount(idx.unit_owner, minlength=4)
+        assert (grown > 1).sum() == 1, grown
         assert div.size == 200 + burst.shape[0]
-        res = div.search(x[:1], 5)
-        assert (res.ids >= 0).all()
+        # full-probe search over the grown layout is exact
+        full = IVFSearchParameters(n_probes=idx.num_probe_units)
+        gt = svt.exhaustive_search(
+            np.concatenate([x, burst]), x[:20], 5)
+        res = idx.search(x[:20], 5, full)
+        internal = np.concatenate([np.arange(200),
+                                   np.arange(1000, 1000 + burst.shape[0])])
+        mapped = np.where(res.ids >= 0,
+                          np.searchsorted(internal, res.ids), -1)
+        hits = sum(len(set(a) & set(b))
+                   for a, b in zip(mapped, np.asarray(gt.ids)))
+        assert hits / gt.ids.size >= 0.99
+        # compact collapses back to one unit per cluster
+        div.compact()
+        assert idx.num_probe_units == 4
+        res2 = idx.search(x[:20], 5, IVFSearchParameters(n_probes=4))
+        assert (np.sort(res2.ids, axis=1) == np.sort(res.ids, axis=1)).all()
+
+    def test_bulk_add_is_vectorized(self, rng):
+        """Bulk adds must not do per-point host work: 20k points into a 50k
+        index in one call (the round-3 per-point loop took O(n_add * slot)
+        host ops; this size finishes in seconds only when vectorized)."""
+        import time
+
+        from scalablevectorsearch_tpu.index.ivf.clustering import Clustering
+        from scalablevectorsearch_tpu.index.ivf.dynamic import (
+            DynamicIVFIndex)
+        x = rng.normal(size=(50_000, 16)).astype(np.float32)
+        params = IVFBuildParameters(num_centroids=64, num_iterations=3,
+                                    training_fraction=0.2,
+                                    is_hierarchical=False)
+        clustering = Clustering.build(params, x)
+        idx = DynamicIVFIndex(clustering, x, np.arange(50_000), "l2")
+        extra = rng.normal(size=(20_000, 16)).astype(np.float32)
+        t0 = time.monotonic()
+        idx.add_points(extra, np.arange(100_000, 120_000))
+        add_s = time.monotonic() - t0
+        assert idx.size == 70_000
+        assert add_s < 30.0, f"bulk add took {add_s:.1f}s"
+        # spot-check integrity: every added id is findable at full probe
+        from scalablevectorsearch_tpu.index.ivf.params import (
+            IVFSearchParameters)
+        res = idx.search(extra[:32], 1, IVFSearchParameters(
+            n_probes=idx.num_probe_units))
+        np.testing.assert_array_equal(
+            res.ids[:, 0], np.arange(100_000, 100_032))
 
 
 class TestIVFIterator:

@@ -197,6 +197,30 @@ class TestShardedGraph:
         np.testing.assert_array_equal(np.asarray(g_sh.degrees)[:n],
                                       np.asarray(g_one.degrees)[:n])
 
+    def test_build_knobs_identical_graph(self, eight_devices):
+        """The single-chip builder's perf levers (first_pass_window,
+        tail_frac, prune_pool — VERDICT r3 ask 7) plumb through the sharded
+        builder and still produce the single-chip graph bit-for-bit."""
+        from scalablevectorsearch_tpu.index.vamana import build as build_mod
+        from scalablevectorsearch_tpu.index.vamana.params import (
+            VamanaBuildParameters)
+        x, data, graph, queries = self._index()
+        mesh = mesh_mod.make_mesh(8, axis_name="shard")
+        params = VamanaBuildParameters(
+            graph_max_degree=12, window_size=24,
+            max_candidate_pool_size=48, prune_to=10)
+        knobs = dict(batch_size=256, first_pass_window=12, tail_frac=4,
+                     prune_pool=32)
+        g_sh, e_sh = sharded.sharded_build_graph(mesh, data, params, "l2",
+                                                 **knobs)
+        g_one, e_one = build_mod.build_graph(data, params, "l2", **knobs)
+        assert e_sh == e_one
+        n = data.n
+        np.testing.assert_array_equal(np.asarray(g_sh.adjacency)[:n],
+                                      np.asarray(g_one.adjacency)[:n])
+        np.testing.assert_array_equal(np.asarray(g_sh.degrees)[:n],
+                                      np.asarray(g_one.degrees)[:n])
+
     def test_sampled_build_identical_graph(self, eight_devices):
         """Sampled-entries builds are deterministic too: the sharded build
         with sampled entries matches the single-device one bit-for-bit
@@ -217,6 +241,65 @@ class TestShardedGraph:
         n = data.n
         np.testing.assert_array_equal(np.asarray(g_sh.adjacency)[:n],
                                       np.asarray(g_one.adjacency)[:n])
+
+
+class TestShardAtLoad:
+    """Streamed shard-at-load (VERDICT r3 ask 8): read a vecs file in row
+    blocks straight onto the mesh, never materializing the whole array on
+    the host — must be bit-identical to the host-staged path."""
+
+    def test_streamed_matches_host_staged(self, eight_devices, tmp_path):
+        from scalablevectorsearch_tpu.core import io as core_io
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(1003, 20)).astype(np.float32)
+        path = str(tmp_path / "x.fvecs")
+        core_io.write_vecs(path, x)
+        mesh = mesh_mod.make_mesh(8, axis_name="shard")
+        # block_rows=37: many ragged blocks per shard, non-dividing bounds
+        streamed = sharded.shard_dataset_from_file(path, mesh,
+                                                   block_rows=37)
+        staged = sharded.shard_dataset(VectorDataset.from_array(x), mesh)
+        assert streamed.n == staged.n and streamed.dim == staged.dim
+        assert streamed.capacity == staged.capacity
+        np.testing.assert_array_equal(np.asarray(streamed.vectors),
+                                      np.asarray(staged.vectors))
+        np.testing.assert_array_equal(np.asarray(streamed.norms_sq),
+                                      np.asarray(staged.norms_sq))
+
+    def test_streamed_build_matches_host_staged(self, eight_devices,
+                                                tmp_path):
+        from scalablevectorsearch_tpu.core import io as core_io
+        from scalablevectorsearch_tpu.index.vamana import build as build_mod
+        from scalablevectorsearch_tpu.index.vamana.params import (
+            VamanaBuildParameters)
+        data, _ = svt.generate_test_dataset(1200, 8, 24, seed=21)
+        path = str(tmp_path / "d.fvecs")
+        core_io.write_vecs(path, data)
+        mesh = mesh_mod.make_mesh(8, axis_name="shard")
+        params = VamanaBuildParameters(
+            graph_max_degree=12, window_size=24,
+            max_candidate_pool_size=48, prune_to=10)
+        g_sh, e_sh = sharded.sharded_build_graph(mesh, path, params, "l2",
+                                                 batch_size=256)
+        g_one, e_one = build_mod.build_graph(
+            VectorDataset.from_array(data), params, "l2", batch_size=256)
+        assert e_sh == e_one
+        n = data.shape[0]
+        np.testing.assert_array_equal(np.asarray(g_sh.adjacency)[:n],
+                                      np.asarray(g_one.adjacency)[:n])
+
+    def test_ranged_reads_match_full_read(self, tmp_path):
+        from scalablevectorsearch_tpu.core import io as core_io
+        rng = np.random.default_rng(4)
+        x = (rng.normal(size=(101, 7)) * 10).astype(np.float32)
+        path = str(tmp_path / "r.fvecs")
+        core_io.write_vecs(path, x)
+        assert core_io.probe_vecs_shape(path) == (101, 7)
+        np.testing.assert_array_equal(
+            core_io.read_vecs_rows(path, 40, 30), x[40:70])
+        np.testing.assert_array_equal(
+            core_io.read_vecs_rows(path, 90, 50), x[90:])   # clipped
+        assert core_io.read_vecs_rows(path, 101, 5).shape == (0, 7)
 
 
 class TestShardedCompressed:

@@ -208,6 +208,32 @@ class TestVamanaSearch:
         assert built_index.search_parameters.buffer_config\
             .search_buffer_capacity == 32
 
+    def test_k_exceeds_n(self, small_dataset):
+        """k > n must clamp the dispatch width (an unclamped k sizes the
+        beam kernel's VMEM off a number with no effect on the answer —
+        found by the round-4 TPU verify probe) and pad trailing columns
+        with -1 / +inf, like the reference's trailing invalid neighbors."""
+        data, queries = small_dataset
+        n = 300
+        params = VamanaBuildParameters(graph_max_degree=16, window_size=32,
+                                       alpha=1.1)
+        index = VamanaIndex.build(params, data[:n], "l2",
+                                  query_batch_size=16)
+        res = index.search(queries[:4], n + 50)
+        assert res.ids.shape == (4, n + 50)
+        assert np.all(res.ids[:, n:] == -1)
+        assert np.all(np.isinf(res.distances[:, n:]))
+        valid = res.ids[:, :20]
+        assert np.all(valid >= 0)
+        # dynamic variant
+        from scalablevectorsearch_tpu.index.vamana.dynamic import (
+            MutableVamanaIndex)
+        dyn = MutableVamanaIndex(params, data[:n], np.arange(n), "l2",
+                                 query_batch_size=16)
+        res_d = dyn.search(queries[:4], n + 50)
+        assert res_d.ids.shape == (4, n + 50)
+        assert np.all(res_d.ids[:, n:] == -1)
+
     def test_sub_k_window(self, built_index, small_dataset):
         """A pop horizon below k is legal: the k results come from the
         final beam, whose capacity floors at k (the reference's
@@ -224,7 +250,11 @@ class TestVamanaSearch:
         for row in res.ids:
             assert len(set(row.tolist())) == k
         assert np.all(np.diff(res.distances, axis=1) >= -1e-6)
-        # wider pop horizon at equal capacity never returns worse best-hits
+        # wider pop horizon at equal capacity returns equal-or-better
+        # best-hits on THIS fixture.  NOTE: lockstep beam search does not
+        # guarantee this in general (expansion order and derived max_iters
+        # differ) — the assertion is pinned to the fixture/seed; if a seed
+        # change breaks it, soften to an aggregate (mean best-hit) check.
         built_index.search_parameters = VamanaSearchParameters(
             buffer_config=SearchBufferConfig(12, 12))
         res_wide = built_index.search(queries[:16], k)
