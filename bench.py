@@ -289,6 +289,43 @@ def _lvq8_phase(index, data, queries, gt, k, windows, label):
     return out
 
 
+def _gemm_roofline(data, centroids):
+    """Achieved TFLOP/s of the k-means assignment GEMM, measured WARM and
+    device-resident.  Dividing FLOPs by total train wall is wrong on the
+    remote chip (it mixes remote compile, k-means++ host loops, and
+    per-minibatch tunnel syncs into the denominator → ~0 TFLOP/s).  Here
+    REPS assignment calls run serially inside ONE jitted fori_loop (a tiny
+    loop-carried perturbation defeats hoisting) so the single ~45 ms tunnel
+    round trip amortizes over ~4e12 FLOPs of real ``_assign`` work."""
+    import jax
+    import jax.numpy as jnp
+
+    from scalablevectorsearch_tpu.index.ivf import kmeans as km
+    b = min(65536, data.shape[0])
+    flops_per_rep = 2.0 * b * centroids.shape[0] * centroids.shape[1]
+    reps = int(np.clip(4e12 / flops_per_rep, 32, 2048))
+    xb = jnp.asarray(np.asarray(data[:b], np.float32))
+    c = jnp.asarray(centroids, jnp.float32)
+    cn = jnp.sum(c * c, axis=-1)
+
+    @jax.jit
+    def loop(xv, c, cn):
+        def body(_, carry):
+            acc, xv = carry
+            ids = km._assign(xv, c, cn)
+            acc = acc + ids[0]
+            # loop-carried data dependence (value change ~1e-34: harmless)
+            return acc, xv + acc.astype(jnp.float32) * jnp.float32(1e-37)
+        acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.int32(0), xv))
+        return acc
+
+    np.asarray(loop(xb, c, cn))               # warm the executable
+    t0 = time.time()
+    np.asarray(loop(xb, c, cn))
+    dt = time.time() - t0
+    return flops_per_rep * reps / dt / 1e12, reps, b
+
+
 def _ivf_phase(data, queries, gt, k, label):
     """IVF: k-means training (MXU GEMM roofline) + probe sweep to 0.9."""
     from scalablevectorsearch_tpu.index.ivf.clustering import Clustering
@@ -304,22 +341,21 @@ def _ivf_phase(data, queries, gt, k, label):
     t0 = time.time()
     clustering = Clustering.build(p, data)
     train_s = time.time() - t0
-    # GEMM FLOPs: per-iteration minibatch assignment (2*mb*K*d) + final
-    # full assignment (2*n*K*d); k-means++ seeding excluded (lower bound)
-    flops = 2.0 * p.num_centroids * d * (
-        p.num_iterations * p.minibatch_size + n)
-    tflops = flops / train_s / 1e12
+    tflops, reps, gemm_rows = _gemm_roofline(data, clustering.centroids)
     gemm = {"train_s": round(train_s, 1),
             "achieved_tflops": round(tflops, 2),
+            "gemm_shape": [gemm_rows, p.num_centroids, d],
+            "gemm_reps": reps,
             "mxu_peak_tflops_bf16": MXU_PEAK_TFLOPS_BF16,
             "mxu_utilization": round(tflops / MXU_PEAK_TFLOPS_BF16, 4),
             "num_centroids": p.num_centroids}
     _log(f"# {label} ivf train: {train_s:.1f}s K={p.num_centroids} "
-         f"{tflops:.2f} TFLOP/s ({gemm['mxu_utilization']:.1%} of bf16 peak)")
+         f"assign GEMM {tflops:.2f} TFLOP/s "
+         f"({gemm['mxu_utilization']:.1%} of bf16 peak)")
     index = IVFIndex.assemble_from_clustering(clustering, data, "l2")
     best = None
     recall = 0.0
-    for n_probes in (8, 12, 16, 24, 32, 48, 64, 96, 128):
+    for n_probes in (2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128):
         if n_probes > index.num_probe_units:
             break
         sp = IVFSearchParameters(n_probes=n_probes, k_reorder=1)
