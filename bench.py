@@ -45,6 +45,7 @@ SVT_BENCH_QUERIES (5000), SVT_BENCH_QB (query batch rows), SVT_BENCH_1M=0
 the 100k phase already used more than half the budget), SVT_BENCH_SAMPLER=0
 (disable per-query sampled entry points), SVT_BENCH_LVQ=0 / SVT_BENCH_IVF=0
 (skip those phases), SVT_BENCH_10M=1 (opt-in 10M phase), SVT_BENCH_10M_DIR,
+SVT_BENCH_10M_LVQ=0 (skip the 10M LVQ8 serving line),
 SVT_BENCH_ROUNDS (timing rounds, default 3).
 """
 
@@ -353,6 +354,11 @@ def _ivf_phase(data, queries, gt, k, label):
          f"assign GEMM {tflops:.2f} TFLOP/s "
          f"({gemm['mxu_utilization']:.1%} of bf16 peak)")
     index = IVFIndex.assemble_from_clustering(clustering, data, "l2")
+    # 100k IVF serving is per-dispatch-overhead-bound at the default
+    # qb=512 (10 tunnel dispatches per 5000-query call): fewer, larger
+    # batches amortize the ~45 ms per-call floor exactly as for Vamana
+    index.query_batch_size = max(index.query_batch_size,
+                                 min(2500, len(queries)))
     best = None
     recall = 0.0
     for n_probes in (2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128):
@@ -384,6 +390,47 @@ DEFAULT_10M_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".bench10m")
 
 
+def _scale_10m_lvq(index, ck, queries, gt, k, data=None):
+    """10M LVQ8 serving (BASELINE configs[2]: Deep-10M compressed,
+    fused decode+distance): ~1 GB of codes vs 3.84 GB f32 — the
+    equal-memory Pareto point at the judged scale.  Compression needs the
+    host f32 array, so it runs once on the building pass and the codes
+    persist under <ck>/lvq8; cached runs load them directly (and skip the
+    phase when only the f32 index was persisted)."""
+    from scalablevectorsearch_tpu.core.loading import dispatch_load
+    from scalablevectorsearch_tpu.lib import saveload
+    from scalablevectorsearch_tpu.quantization.lvq import LVQDataset
+    lvq_dir = os.path.join(ck, "lvq8")
+    compress_s = None
+    if os.path.isdir(lvq_dir):
+        lvq = dispatch_load(lvq_dir)
+    elif data is not None:
+        t0 = time.time()
+        lvq = LVQDataset.compress(np.asarray(data, np.float32), bits=8)
+        compress_s = time.time() - t0
+        _log(f"# 10M lvq8 compress: {compress_s:.1f}s")
+        saveload.save_to_disk(lvq, lvq_dir)
+    else:
+        return None
+    idx = VamanaIndex(index.graph, lvq, index.entry_point, index.distance,
+                      query_batch_size=index.query_batch_size)
+    if getattr(index, "_entry_sampler", None) is not None:
+        idx.enable_entry_sampler()
+    idx.pop_width = index.pop_width
+    window, recall = _sweep_to_recall(
+        idx, queries, gt, k, (14, 16, 20, 24, 32, 48), "10M lvq8")
+    idx.search_window_size = window
+    timing = _timed_qps(idx.search_async, queries, k, reps=4)
+    _log(f"# 10M lvq8 qps median={timing['qps']:.0f} "
+         f"[{timing['qps_min']:.0f}, {timing['qps_max']:.0f}]")
+    out = {"recall": round(float(recall), 4), "window": window, **timing}
+    if compress_s is not None:
+        out["compress_s"] = round(compress_s, 1)
+    del idx, lvq
+    gc.collect()
+    return out
+
+
 def _scale_10m(k, alpha):
     """10M phase (BASELINE configs[2] Deep-10M): sampled-entries build
     persisted under SVT_BENCH_10M_DIR (default .bench10m/, gitignored) so
@@ -395,6 +442,7 @@ def _scale_10m(k, alpha):
     q_path = os.path.join(ck, "queries.npy")
     gt_path = os.path.join(ck, "gt.npy")
     build_s = None
+    data = None
     if (os.path.isdir(os.path.join(ck, "index"))
             and os.path.exists(q_path) and os.path.exists(gt_path)):
         # fully cached: no 10M datagen needed at all
@@ -426,8 +474,6 @@ def _scale_10m(k, alpha):
             gt = np.asarray(svt.exhaustive_search(data, queries, k).ids)
             _log(f"# 10M exhaustive gt: {time.time() - t0:.1f}s")
             np.save(gt_path, gt)
-        del data
-        gc.collect()
     # packed layouts exceed HBM at 10M (PERF.md) — unpacked f32 serving
     window, recall = _sweep_to_recall(
         index, queries, gt, k, (12, 14, 16, 20, 24, 32, 48), "10M")
@@ -440,6 +486,12 @@ def _scale_10m(k, alpha):
         out["build_s"] = round(build_s, 1)
     else:
         out["build_s"] = "cached"
+    if os.environ.get("SVT_BENCH_10M_LVQ", "1") != "0":
+        lvq_out = _scale_10m_lvq(index, ck, queries, gt, k, data=data)
+        if lvq_out is not None:
+            out["lvq8"] = lvq_out
+    del data
+    gc.collect()
     return out
 
 
@@ -484,10 +536,17 @@ def main():
     head = _run_scale(data, queries, k, alpha, head_windows, lvq_windows,
                       f"{n // 1000}k")
 
+    # a persisted 10M index makes the 10M phase serve-only (~8 min with
+    # the LVQ8 line): reserve that slice of the budget so the judged
+    # Deep-10M line is never crowded out by the cheaper 1M phases
+    ck_10m = os.environ.get("SVT_BENCH_10M_DIR", DEFAULT_10M_DIR)
+    cached_10m = os.path.isdir(os.path.join(ck_10m, "index"))
+    reserve_10m = 500 if cached_10m else 0
+
     scale_1m = None
     elapsed = time.time() - started
     if os.environ.get("SVT_BENCH_1M", "1") != "0" and n < 1_000_000 \
-            and elapsed < budget_s / 2:
+            and elapsed < (budget_s - reserve_10m) / 2:
         del data
         gc.collect()
         data1, queries1 = svt.generate_test_dataset(1_000_000, 2000, dim,
@@ -500,11 +559,10 @@ def main():
         gc.collect()
 
     scale_10m = None
-    ck_10m = os.environ.get("SVT_BENCH_10M_DIR", DEFAULT_10M_DIR)
     want_10m = os.environ.get("SVT_BENCH_10M", "0") == "1" or (
         os.environ.get("SVT_BENCH_10M", "") != "0"
-        and os.path.isdir(os.path.join(ck_10m, "index"))
-        and time.time() - started < budget_s * 0.8)
+        and cached_10m
+        and time.time() - started < budget_s - reserve_10m * 0.8)
     if want_10m:
         scale_10m = _scale_10m(k, alpha)
 
