@@ -327,6 +327,53 @@ def _gemm_roofline(data, centroids):
     return flops_per_rep * reps / dt / 1e12, reps, b
 
 
+def _prune_roofline(b, p, max_result, dim):
+    """Achieved TFLOP/s of the build's RobustPrune kernel at the build's
+    real shapes (B nodes x P pool x d), warm and device-resident (same
+    methodology as :func:`_gemm_roofline`).  FLOPs counted: only the
+    dominant (B,P,d)x(B,P,d)->(B,P,P) pairwise einsum (2*B*P^2*d) — the
+    sequential select-and-suppress fori steps are timed but not credited,
+    so this reports the prune PHASE's effective MXU utilization (its
+    distance from the hardware bound), not the isolated matmul's."""
+    import jax
+    import jax.numpy as jnp
+
+    from scalablevectorsearch_tpu.ops import prune as prune_ops
+    rng = np.random.default_rng(0)
+    vecs = jnp.asarray(rng.normal(size=(b, p, dim)).astype(np.float32))
+    keys = jnp.asarray(np.sort(rng.random((b, p)).astype(np.float32),
+                               axis=1))
+    ids = jnp.asarray(
+        np.argsort(rng.random((b, p)), axis=1).astype(np.int32))
+    norms = jnp.sum(vecs * vecs, axis=-1)
+    self_ids = jnp.full((b,), p + 1, jnp.int32)
+    flops_per_call = 2.0 * b * p * p * dim
+    reps = int(np.clip(4e12 / flops_per_call, 8, 512))
+
+    @jax.jit
+    def loop(vecs, keys, ids, norms, self_ids):
+        def body(_, carry):
+            acc, v = carry
+            _, deg = prune_ops.robust_prune(
+                ids, keys, v, norms, self_ids, jnp.float32(1.1),
+                max_result, "l2")
+            acc = acc + deg[0]
+            # loop-carried data dependence (value change ~1e-34: harmless)
+            return acc, v + acc.astype(jnp.float32) * jnp.float32(1e-37)
+        acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.int32(0), vecs))
+        return acc
+
+    np.asarray(loop(vecs, keys, ids, norms, self_ids))   # warm
+    t0 = time.time()
+    np.asarray(loop(vecs, keys, ids, norms, self_ids))
+    dt = time.time() - t0
+    tflops = flops_per_call * reps / dt / 1e12
+    return {"achieved_tflops": round(tflops, 2),
+            "shape": [b, p, dim], "reps": reps,
+            "mxu_peak_tflops_bf16": MXU_PEAK_TFLOPS_BF16,
+            "mxu_utilization": round(tflops / MXU_PEAK_TFLOPS_BF16, 4)}
+
+
 def _ivf_phase(data, queries, gt, k, label):
     """IVF: k-means training (MXU GEMM roofline) + probe sweep to 0.9."""
     from scalablevectorsearch_tpu.index.ivf.clustering import Clustering
@@ -535,6 +582,16 @@ def main():
     lvq_windows = (12, 14, 16, 20, 24, 32, 48, 64, 96)
     head = _run_scale(data, queries, k, alpha, head_windows, lvq_windows,
                       f"{n // 1000}k")
+    if os.environ.get("SVT_BENCH_PRUNE_ROOFLINE", "1") != "0":
+        from scalablevectorsearch_tpu.index.vamana.build import (
+            default_batch_size)
+        from scalablevectorsearch_tpu.lib import datatypes as dt
+        head["prune_roofline"] = _prune_roofline(
+            default_batch_size(n), 300, 28, dt.pad_to(dim, 128))
+        _log(f"# prune roofline: "
+             f"{head['prune_roofline']['achieved_tflops']:.1f} TFLOP/s "
+             f"({head['prune_roofline']['mxu_utilization']:.1%} of bf16 "
+             f"peak)")
 
     # a persisted 10M index makes the 10M phase serve-only (~8 min with
     # the LVQ8 line): reserve that slice of the budget so the judged
@@ -576,7 +633,7 @@ def main():
         "plugin_warmup_s": round(warm.get("warmup_s", 0.0), 1),
         **{key: head[key] for key in
            ("build_s", "recall", "window", "latency", "qps_min", "qps_max",
-            "roofline") if key in head},
+            "roofline", "prune_roofline") if key in head},
     }
     for key in ("lvq8", "ivf"):
         if key in head:
