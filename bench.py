@@ -408,7 +408,7 @@ def _ivf_phase(data, queries, gt, k, label):
                                  min(2500, len(queries)))
     best = None
     recall = 0.0
-    for n_probes in (2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128):
+    for n_probes in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128):
         if n_probes > index.num_probe_units:
             break
         sp = IVFSearchParameters(n_probes=n_probes, k_reorder=1)

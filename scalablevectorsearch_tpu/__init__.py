@@ -95,8 +95,11 @@ except ImportError:  # pragma: no cover
     pass
 
 try:  # Inverted
+    from .index.inverted.index import (  # noqa: F401
+        InvertedBuildParameters, InvertedSearchParameters)
     from .orchestrators.inverted import Inverted  # noqa: F401
-    __all__ += ["Inverted"]
+    __all__ += ["Inverted", "InvertedBuildParameters",
+                "InvertedSearchParameters"]
 except ImportError:  # pragma: no cover
     pass
 

@@ -238,6 +238,24 @@ def inverted_search_kernel(graph: NeighborGraph, centroid_data: VectorDataset,
                                 distance=distance, dedup=True)
 
 
+@partial(jax.jit, static_argnames=(
+    "window", "max_iters", "max_probes", "keep", "slot", "sub", "distance"))
+def _inverted_serve_batch(graph, centroid_data, centroid_ids, data,
+                          ids_padded, q, entry_ids, epsilon, *, window: int,
+                          max_iters: int, max_probes: int, keep: int,
+                          slot: int, sub: int,
+                          distance: dist_ops.DistanceType):
+    """Fused serving dispatch: primary search + scan + key->distance
+    conversion in one executable; ``q`` may arrive in a half-width upload
+    dtype (see vamana/index.py `_search_batch`)."""
+    q = q.astype(jnp.float32)
+    keys, ids = inverted_search_kernel(
+        graph, centroid_data, centroid_ids, data, ids_padded, q, entry_ids,
+        epsilon, window=window, max_iters=max_iters, max_probes=max_probes,
+        keep=keep, slot=slot, sub=sub, distance=distance)
+    return ids, dist_ops.value_from_key(distance, keys)
+
+
 class InvertedIndex:
     SCHEMA = "inverted_index_parameters"
     VERSION = saveload.Version(0, 0, 1)
@@ -246,7 +264,7 @@ class InvertedIndex:
                  slot: int, n: int, entry_point: int, distance,
                  search_parameters: Optional[InvertedSearchParameters] = None,
                  build_parameters: Optional[InvertedBuildParameters] = None,
-                 query_batch_size: int = 512, scan_subtile: int = 256,
+                 query_batch_size: int = 2048, scan_subtile: int = 256,
                  logger=None):
         self.graph = graph                    # primary graph over centroids
         self.centroid_data = centroid_data    # centroid vectors (subset)
@@ -324,7 +342,8 @@ class InvertedIndex:
                      parameters: Optional[InvertedSearchParameters] = None,
                      cancel=None):
         """Pipelined dispatch (see ``IVFIndex.search_async``)."""
-        from ..vamana.index import PendingSearch
+        from ..vamana.index import (PendingSearch, _BatchPlan,
+                                    upload_dtype_for)
         from ...lib.exceptions import check_cancel
         params = parameters or self.search_parameters
         window = max(params.primary_window_size, params.max_probes)
@@ -339,34 +358,33 @@ class InvertedIndex:
         nq, dim = queries.shape
         if dim != self.data.dim:
             raise ValueError(f"query dim {dim} != dataset dim {self.data.dim}")
-        qb = self.query_batch_size
+        plan = _BatchPlan.plan(nq, self.query_batch_size)
         entry_ids = jnp.asarray([self.entry_point], dtype=jnp.int32)
         eps = jnp.float32(params.refinement_epsilon)
         out_ids = np.empty((nq, k), dtype=np.int64)
         out_vals = np.empty((nq, k), dtype=np.float32)
-        # dispatch all batches, start all device->host copies, then read —
-        # per-batch blocking reads each cost a tunnel round trip
+        # fused per-batch dispatch + half-width uploads + async device->host
+        # copies — the same serving pipeline as IVFIndex.search_async
+        q_host = dt.pad_matrix(queries.astype(np.float32),
+                               n_pad=plan.rows * plan.n_batches,
+                               d_pad=self.data.padded_dim)
+        q_host = q_host.astype(upload_dtype_for(q_host), copy=False)
         pending = []
-        for start in range(0, nq, qb):
+        for i in range(plan.n_batches):
             check_cancel(cancel)
-            stop = min(start + qb, nq)
-            batch = dt.pad_matrix(queries[start:stop].astype(np.float32),
-                                  n_pad=min(qb, dt.pad_to(stop - start, 8)),
-                                  d_pad=self.data.padded_dim)
-            keys, ids = inverted_search_kernel(
+            q_i = jnp.asarray(q_host[i * plan.rows:(i + 1) * plan.rows])
+            ids, vals = _inverted_serve_batch(
                 self.graph, self.centroid_data, self.centroid_ids,
-                self.data, self.ids_padded, jnp.asarray(batch), entry_ids,
-                eps, window=window,
+                self.data, self.ids_padded, q_i, entry_ids, eps,
+                window=window,
                 max_iters=vamana_search.default_max_iters(window),
                 max_probes=max_probes, keep=k, slot=self.slot, sub=sub,
                 distance=self.distance)
-            vals = dist_ops.value_from_key(self.distance,
-                                           keys[: stop - start])
-            pending.append((start, ids[: stop - start], vals))
+            pending.append((i * plan.rows, ids, vals))
         for _start, ids, vals in pending:
             ids.copy_to_host_async()
             vals.copy_to_host_async()
-        return PendingSearch(pending=pending, rows=qb, nq=nq,
+        return PendingSearch(pending=pending, rows=plan.rows, nq=nq,
                              out_ids=out_ids, out_vals=out_vals)
 
     # -- persistence ----------------------------------------------------------------

@@ -37,7 +37,7 @@ from ...core.translation import IDTranslator
 from ...lib import datatypes as dt
 from ...ops import distance as dist_ops
 from .clustering import Clustering
-from .index import ivf_search_kernel
+from .index import _ivf_serve_batch
 from .kmeans import assign_full
 from .params import IVFBuildParameters, IVFSearchParameters
 
@@ -171,7 +171,8 @@ class DynamicIVFIndex:
                      cancel=None):
         """Pipelined dispatch (see ``IVFIndex.search_async``); slot->external
         id translation happens on the host at ``.result()`` time."""
-        from ..vamana.index import PendingSearch
+        from ..vamana.index import (PendingSearch, _BatchPlan,
+                                    upload_dtype_for)
         from ...lib.exceptions import check_cancel
         params = parameters or IVFSearchParameters()
         n_probes = min(params.n_probes, self.num_probe_units)
@@ -185,25 +186,25 @@ class DynamicIVFIndex:
         nq, dim = queries.shape
         if dim != self._d:
             raise ValueError(f"query dim {dim} != dataset dim {self._d}")
-        qb = self.query_batch_size
+        plan = _BatchPlan.plan(nq, self.query_batch_size)
         out_ids = np.empty((nq, k), dtype=np.int64)
         out_vals = np.empty((nq, k), dtype=np.float32)
-        # dispatch all batches, start all device->host copies, then read —
-        # per-batch blocking reads each cost a tunnel round trip
+        # fused per-batch dispatch + half-width uploads + async device->host
+        # copies — the same serving pipeline as IVFIndex.search_async
+        q_host = dt.pad_matrix(queries.astype(np.float32),
+                               n_pad=plan.rows * plan.n_batches,
+                               d_pad=self.data.padded_dim)
+        q_host = q_host.astype(upload_dtype_for(q_host), copy=False)
         pending = []
-        for start in range(0, nq, qb):
+        for i in range(plan.n_batches):
             check_cancel(cancel)
-            stop = min(start + qb, nq)
-            batch = dt.pad_matrix(queries[start:stop].astype(np.float32),
-                                  n_pad=min(qb, dt.pad_to(stop - start, 8)),
-                                  d_pad=self.data.padded_dim)
-            keys, slots = ivf_search_kernel(
+            q_i = jnp.asarray(q_host[i * plan.rows:(i + 1) * plan.rows])
+            slots, vals = _ivf_serve_batch(
                 self.centroids, self.centroid_norms, self.data,
-                self.ids_padded, jnp.asarray(batch), n_probes=n_probes,
-                keep=keep, slot=self.slot, sub=sub, distance=self.distance)
-            vals = dist_ops.value_from_key(
-                self.distance, keys[: stop - start, :k])
-            pending.append((start, slots[: stop - start, :k], vals))
+                self.ids_padded, None, q_i, k=k, n_probes=n_probes,
+                keep=keep, slot=self.slot, sub=sub, distance=self.distance,
+                rerank=False)
+            pending.append((i * plan.rows, slots, vals))
         for _start, slots, vals in pending:
             slots.copy_to_host_async()
             vals.copy_to_host_async()
@@ -212,7 +213,7 @@ class DynamicIVFIndex:
             return np.where(
                 s >= 0, self.translator.to_external(np.maximum(s, 0)), -1)
 
-        return PendingSearch(pending=pending, rows=qb, nq=nq,
+        return PendingSearch(pending=pending, rows=plan.rows, nq=nq,
                              out_ids=out_ids, out_vals=out_vals,
                              translate_ids=_translate)
 

@@ -138,6 +138,29 @@ def rerank_kernel(rerank_data, queries: jax.Array, cand_keys: jax.Array,
     return topk_ops.smallest_k(keys, cand_ids, k)
 
 
+@partial(jax.jit, static_argnames=(
+    "k", "n_probes", "keep", "slot", "sub", "distance", "rerank"))
+def _ivf_serve_batch(centroids, centroid_norms, data, ids_padded,
+                     rerank_data, q, *, k: int, n_probes: int, keep: int,
+                     slot: int, sub: int, distance: dist_ops.DistanceType,
+                     rerank: bool):
+    """One fully-fused IVF serving dispatch: centroid select + posting scan
+    + (optional) rerank + key->distance conversion, mirroring Vamana's
+    `_search_batch` (index/vamana/index.py) — the host does nothing between
+    dispatches but enqueue, and ``q`` may arrive in a half-width upload
+    dtype (cast to f32 here)."""
+    q = q.astype(jnp.float32)
+    keys, ids = ivf_search_kernel(
+        centroids, centroid_norms, data, ids_padded, q,
+        n_probes=n_probes, keep=keep, slot=slot, sub=sub, distance=distance)
+    if rerank:
+        keys, ids = rerank_kernel(rerank_data, q, keys, ids, k=k,
+                                  distance=distance)
+    else:
+        keys, ids = keys[:, :k], ids[:, :k]
+    return ids, dist_ops.value_from_key(distance, keys)
+
+
 class IVFIndex:
     """Static IVF index over padded dense clusters."""
 
@@ -147,7 +170,7 @@ class IVFIndex:
     def __init__(self, centroids, data, ids_padded, slot: int, n: int,
                  distance, search_parameters: Optional[IVFSearchParameters]
                  = None, build_parameters: Optional[IVFBuildParameters] = None,
-                 rerank_data=None, query_batch_size: int = 512,
+                 rerank_data=None, query_batch_size: int = 2048,
                  scan_subtile: int = 256, logger=None,
                  n_clusters=None):
         centroids = np.asarray(centroids, dtype=np.float32)
@@ -286,7 +309,8 @@ class IVFIndex:
         copies start before this returns, so call N+1's host pad/upload
         rides the tunnel while call N computes — the TPU analog of the
         reference's threadpool-saturated serving (index.h:556-603)."""
-        from ..vamana.index import PendingSearch
+        from ..vamana.index import (PendingSearch, _BatchPlan,
+                                    upload_dtype_for)
         from ...lib.exceptions import check_cancel
         params = parameters or self.search_parameters
         n_probes = min(params.n_probes, self.num_probe_units)
@@ -302,35 +326,32 @@ class IVFIndex:
         if dim != self.data.dim:
             raise ValueError(f"query dim {dim} != dataset dim "
                              f"{self.data.dim}")
-        qb = self.query_batch_size
+        plan = _BatchPlan.plan(nq, self.query_batch_size)
         out_ids = np.empty((nq, k), dtype=np.int64)
         out_vals = np.empty((nq, k), dtype=np.float32)
-        # dispatch all batches, start all device->host copies, then read —
-        # per-batch blocking reads each cost a tunnel round trip
+        rerank = self.rerank_data is not None and keep > k
+        # ONE host-side pad of the whole query set, half-width per-batch
+        # ASYNC uploads, one fused executable per equal-shape batch, and
+        # every device->host copy started before the first blocking read —
+        # the same serving pipeline as Vamana's search_async
+        q_host = dt.pad_matrix(queries.astype(np.float32),
+                               n_pad=plan.rows * plan.n_batches,
+                               d_pad=self.data.padded_dim)
+        q_host = q_host.astype(upload_dtype_for(q_host), copy=False)
         pending = []
-        for start in range(0, nq, qb):
+        for i in range(plan.n_batches):
             check_cancel(cancel)
-            stop = min(start + qb, nq)
-            batch = dt.pad_matrix(queries[start:stop].astype(np.float32),
-                                  n_pad=min(qb, dt.pad_to(stop - start, 8)),
-                                  d_pad=self.data.padded_dim)
-            qdev = jnp.asarray(batch)
-            keys, ids = ivf_search_kernel(
+            q_i = jnp.asarray(q_host[i * plan.rows:(i + 1) * plan.rows])
+            ids, vals = _ivf_serve_batch(
                 self.centroids, self.centroid_norms, self.data,
-                self.ids_padded, qdev, n_probes=n_probes, keep=keep,
-                slot=self.slot, sub=sub, distance=self.distance)
-            if self.rerank_data is not None and keep > k:
-                keys, ids = rerank_kernel(self.rerank_data, qdev, keys, ids,
-                                          k=k, distance=self.distance)
-            else:
-                keys, ids = keys[:, :k], ids[:, :k]
-            vals = dist_ops.value_from_key(self.distance,
-                                           keys[: stop - start])
-            pending.append((start, ids[: stop - start], vals))
+                self.ids_padded, self.rerank_data if rerank else None, q_i,
+                k=k, n_probes=n_probes, keep=keep, slot=self.slot, sub=sub,
+                distance=self.distance, rerank=rerank)
+            pending.append((i * plan.rows, ids, vals))
         for _start, ids, vals in pending:
             ids.copy_to_host_async()
             vals.copy_to_host_async()
-        return PendingSearch(pending=pending, rows=qb, nq=nq,
+        return PendingSearch(pending=pending, rows=plan.rows, nq=nq,
                              out_ids=out_ids, out_vals=out_vals)
 
     # -- persistence --------------------------------------------------------------------

@@ -100,8 +100,8 @@ class EntrySampler:
         if invalid is not None:
             bad = bad | invalid
         s = self.vectors.shape[0]
-        if n_entries == 1 and s > SELECT_CHUNK:
-            return self._select_chunked(distance, q, bad)
+        if s > SELECT_CHUNK:
+            return self._select_chunked(distance, q, bad, n_entries)
         keys = dist_ops.pairwise_keys(distance, q, self.vectors,
                                       vector_norms_sq=self.norms_sq)
         keys = jnp.where(bad[None, :], jnp.inf, keys)
@@ -110,14 +110,16 @@ class EntrySampler:
         _, idx = jax.lax.top_k(-keys, n_entries)
         return self.ids[idx]
 
-    def _select_chunked(self, distance, q: jax.Array,
-                        bad: jax.Array) -> jax.Array:
+    def _select_chunked(self, distance, q: jax.Array, bad: jax.Array,
+                        n_entries: int = 1) -> jax.Array:
         """Running-min fold over SELECT_CHUNK-row sample slices.
 
         Bit-equal to the one-shot panel argmin for the first minimum (ties
         resolve to the lowest slot index either way since chunks scan in
         slot order), but the live key transient is (B, SELECT_CHUNK)
-        instead of (B, S)."""
+        instead of (B, S).  ``n_entries > 1`` folds a running
+        top-``n_entries`` merge instead (same selected SET as the one-shot
+        top_k; tie ordering may differ)."""
         s, b = self.vectors.shape[0], q.shape[0]
         n_chunks = -(-s // SELECT_CHUNK)
         pad = n_chunks * SELECT_CHUNK - s
@@ -132,6 +134,25 @@ class EntrySampler:
               norms.reshape(n_chunks, SELECT_CHUNK),
               ids.reshape(n_chunks, SELECT_CHUNK),
               badp.reshape(n_chunks, SELECT_CHUNK))
+
+        if n_entries > 1:
+            from ...ops import topk as topk_ops
+
+            def step_multi(carry, x):
+                best_keys, best_ids = carry
+                cv, cn, ci, cb = x
+                keys = dist_ops.pairwise_keys(distance, q, cv,
+                                              vector_norms_sq=cn)
+                keys = jnp.where(cb[None, :], jnp.inf, keys)
+                return topk_ops.merge_smallest(
+                    best_keys, best_ids, keys,
+                    jnp.broadcast_to(ci[None, :], keys.shape),
+                    n_entries), None
+
+            init = (jnp.full((b, n_entries), jnp.inf, jnp.float32),
+                    jnp.full((b, n_entries), -1, jnp.int32))
+            (_, best_ids), _ = jax.lax.scan(step_multi, init, xs)
+            return jnp.where(best_ids < 0, self.ids[0], best_ids)
 
         def step(carry, x):
             best_key, best_id = carry

@@ -552,6 +552,31 @@ class TestEntrySampler:
             monkeypatch.setattr(entry, "SELECT_CHUNK", 8192)
             np.testing.assert_array_equal(one_shot, chunked)
 
+    def test_chunked_select_multi_entry(self, rng, monkeypatch):
+        """n_entries > 1 selects the same entry SET through the chunked
+        running-merge fold as through the one-shot top_k panel (ordering
+        may differ only on exact key ties)."""
+        from scalablevectorsearch_tpu.index.vamana import entry
+        from scalablevectorsearch_tpu.lib.datatypes import pad_matrix
+        from scalablevectorsearch_tpu.ops import distance as dist_ops
+        x = rng.normal(size=(500, 24)).astype(np.float32)
+        data = VectorDataset.from_array(x)
+        q = rng.normal(size=(16, 24)).astype(np.float32)
+        qp = jnp.asarray(pad_matrix(q, d_pad=data.padded_dim))
+        s = entry.build_sampler(data, 300, seed=3)
+        invalid = jnp.asarray(rng.random(300) < 0.3)
+        for metric in ("l2", "mip", "cosine"):
+            d = dist_ops.as_distance(metric)
+            one_shot = np.asarray(s.select(d, qp, n_entries=4,
+                                           invalid=invalid))
+            monkeypatch.setattr(entry, "SELECT_CHUNK", 128)
+            chunked = np.asarray(s.select(d, qp, n_entries=4,
+                                          invalid=invalid))
+            monkeypatch.setattr(entry, "SELECT_CHUNK", 8192)
+            assert one_shot.shape == chunked.shape == (16, 4)
+            np.testing.assert_array_equal(np.sort(one_shot, axis=1),
+                                          np.sort(chunked, axis=1))
+
 
 class TestReferenceInterop:
     """Reference checkpoint-directory interop (svs_config.toml + .svs blobs;
