@@ -20,7 +20,7 @@ from ..core.translation import IDTranslator
 from ..lib import datatypes as dt
 from ..ops import distance as dist_ops
 from ..ops import topk as topk_ops
-from .flat import flat_search_kernel
+from .flat import _flat_serve_batch
 
 SLOT_EMPTY, SLOT_VALID = 0, 1
 
@@ -77,32 +77,31 @@ class DynamicFlatIndex:
         mask = self.valid_mask
         if mask.shape[0] < data.capacity:
             mask = jnp.pad(mask, (0, data.capacity - mask.shape[0]))
-        qb = self.query_batch_size
+        from .vamana.index import _BatchPlan
+        plan = _BatchPlan.plan(nq, self.query_batch_size)
         out_ids = np.empty((nq, k), dtype=np.int64)
         out_vals = np.empty((nq, k), dtype=np.float32)
-        # dispatch all batches, start all device->host copies, then read —
-        # per-batch blocking reads each cost a tunnel round trip
+        # fused equal-shape dispatches + async device->host copies (see
+        # FlatIndex.search_async); f32 uploads for exactness
+        q_host = dt.pad_matrix(queries.astype(np.float32),
+                               n_pad=plan.rows * plan.n_batches,
+                               d_pad=data.padded_dim)
         pending = []
-        for start in range(0, nq, qb):
+        for i in range(plan.n_batches):
             check_cancel(cancel)
-            stop = min(start + qb, nq)
-            batch = dt.pad_matrix(queries[start:stop].astype(np.float32),
-                                  n_pad=min(qb, dt.pad_to(stop - start, 8)),
-                                  d_pad=data.padded_dim)
-            keys, ids = flat_search_kernel(
-                data, jnp.asarray(batch), k, tile, self.distance,
-                row_mask=mask)
-            vals = dist_ops.value_from_key(self.distance,
-                                           keys[: stop - start])
-            pending.append((start, stop, ids[: stop - start], vals))
-        for _start, _stop, ids, vals in pending:
+            q_i = jnp.asarray(q_host[i * plan.rows:(i + 1) * plan.rows])
+            ids, vals = _flat_serve_batch(data, q_i, k, tile, self.distance,
+                                          row_mask=mask)
+            pending.append((i * plan.rows, ids, vals))
+        for _start, ids, vals in pending:
             ids.copy_to_host_async()
             vals.copy_to_host_async()
-        for start, stop, ids, vals in pending:
-            slots = np.asarray(ids)
+        for start, ids, vals in pending:
+            stop = min(start + plan.rows, nq)
+            slots = np.asarray(ids)[: stop - start]
             out_ids[start:stop] = np.where(
                 slots >= 0, self.translator.to_external(slots), -1)
-            out_vals[start:stop] = np.asarray(vals)
+            out_vals[start:stop] = np.asarray(vals)[: stop - start]
         return QueryResult(ids=out_ids, distances=out_vals)
 
     # -- mutation ------------------------------------------------------------------

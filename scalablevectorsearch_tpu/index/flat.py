@@ -73,6 +73,19 @@ def flat_search_kernel(data: VectorDataset, queries: jax.Array, k: int,
     return jax.lax.fori_loop(0, num_tiles, body, (init_keys, init_ids))
 
 
+@partial(jax.jit, static_argnames=("k", "tile", "distance"))
+def _flat_serve_batch(data, q, k: int, tile: int,
+                      distance: dist_ops.DistanceType, row_mask=None):
+    """Fused serving dispatch: tiled scan + key->distance conversion in one
+    executable (one dispatch per batch, mirroring Vamana's _search_batch).
+    Queries stay full-width f32: the flat index computes ground truths, so
+    its results must not carry the half-width upload perturbation the ANN
+    serving paths accept."""
+    keys, ids = flat_search_kernel(data, q, k, tile, distance,
+                                   row_mask=row_mask)
+    return ids, dist_ops.value_from_key(distance, keys)
+
+
 @dataclasses.dataclass
 class FlatIndex:
     """Exhaustive index over a device dataset (reference: flat.h:159).
@@ -126,30 +139,29 @@ class FlatIndex:
         if dim != self.data.dim:
             raise ValueError(
                 f"query dim {dim} != dataset dim {self.data.dim}")
-        qb = self.query_batch_size
+        from .vamana.index import _BatchPlan
+        plan = _BatchPlan.plan(nq, self.query_batch_size)
         all_ids = np.empty((nq, k), dtype=np.int64)
         all_vals = np.empty((nq, k), dtype=np.float32)
         mask_dev = None if row_mask is None else jnp.asarray(row_mask)
+        # ONE host-side pad, equal-shape batches (one compiled executable),
+        # fused per-batch dispatch; f32 uploads — see _flat_serve_batch
+        q_host = dt.pad_matrix(queries.astype(np.float32),
+                               n_pad=plan.rows * plan.n_batches,
+                               d_pad=self.data.padded_dim)
         pending = []
-        for start in range(0, nq, qb):
+        for i in range(plan.n_batches):
             check_cancel(cancel)
-            stop = min(start + qb, nq)
-            batch = dt.pad_matrix(
-                queries[start:stop].astype(np.float32),
-                n_pad=dt.pad_to(stop - start, 8),
-                d_pad=self.data.padded_dim)
-            keys, ids = flat_search_kernel(
-                self.data, jnp.asarray(batch), k, self._tile, self.distance,
-                row_mask=mask_dev)
-            vals = dist_ops.value_from_key(self.distance,
-                                           keys[: stop - start])
-            pending.append((start, ids[: stop - start], vals))
+            q_i = jnp.asarray(q_host[i * plan.rows:(i + 1) * plan.rows])
+            ids, vals = _flat_serve_batch(self.data, q_i, k, self._tile,
+                                          self.distance, row_mask=mask_dev)
+            pending.append((i * plan.rows, ids, vals))
         # start every device->host copy before the first blocking read (each
         # blocking transfer costs a full tunnel round trip)
         for _start, ids, vals in pending:
             vals.copy_to_host_async()
             ids.copy_to_host_async()
-        return PendingSearch(pending=pending, rows=qb, nq=nq,
+        return PendingSearch(pending=pending, rows=plan.rows, nq=nq,
                              out_ids=all_ids, out_vals=all_vals)
 
     # -- persistence -----------------------------------------------------------
