@@ -86,7 +86,11 @@ class TestDpBuildRound:
 
 
 class TestShardedIVF:
-    def test_matches_single_device(self, eight_devices):
+    def test_matches_single_device(self, eight_devices, monkeypatch):
+        # parity check vs the sharded path (which takes pre-padded f32
+        # queries): pin full-width uploads so the single-device reference
+        # is not perturbed by the f16 serving default
+        monkeypatch.setenv("SVT_QUERY_UPLOAD_DTYPE", "float32")
         import scalablevectorsearch_tpu as svt
         from scalablevectorsearch_tpu.index.ivf.index import IVFIndex
         from scalablevectorsearch_tpu.index.ivf.params import (
