@@ -206,7 +206,12 @@ class VamanaIndex:
                  distance,
                  build_parameters: Optional[VamanaBuildParameters] = None,
                  search_parameters: Optional[VamanaSearchParameters] = None,
-                 query_batch_size: int = 2048,
+                 # the lockstep loop is LATENCY-bound, nearly flat in B
+                 # (measured 100k w=11: 28.5 ms at B=512 vs 42.2 ms at
+                 # B=8192 device-resident -> 194k device QPS at B=8192,
+                 # 2.8x the B=2048 rate); one big batch per call beats
+                 # pipelined smaller ones e2e as well (PERF.md round 4)
+                 query_batch_size: int = 8192,
                  logger=None):
         self.graph = graph
         self.data = data
