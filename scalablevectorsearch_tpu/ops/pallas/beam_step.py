@@ -228,14 +228,28 @@ def _kernel_lvq(beam_keys_ref, beam_packed_ref, codes_ref, scales_ref,
     pool_ids_ref[:] = pi
 
 
-def _pick_block_rows(b: int, k: int, d: int, itemsize: int) -> int:
-    """Largest power-of-2 row block keeping the kernel's VMEM footprint in
-    budget.  Sized by the f32 *work* block (the kernel upcasts bf16 inputs,
-    so input itemsize underestimates the live set: a bf16 (128,128,128)
-    block measured 24 MB scoped VMEM and OOM'd the 16 MB limit)."""
+def _pick_block_rows(b: int, k: int, d: int, itemsize: int,
+                     c: int = 0) -> int:
+    """Largest power-of-2 row block keeping the kernel's scoped-VMEM
+    footprint in budget.
+
+    Two terms dominate, both linear in the row block:
+    * the f32 *work* block ``bb * k * d * 4`` (the kernel upcasts bf16
+      inputs, so input itemsize underestimates the live set: a bf16
+      (128,128,128) block measured 24 MB scoped VMEM and OOM'd the 16 MB
+      limit);
+    * the beam merge/sort temporaries ``bb * P * ~256 B`` with ``P`` the
+      pow2-padded sort width ``next_pow2(c + k)`` — fitted from two
+      measured scoped-VMEM points (c=512, k=128, bb=64 -> 21.66 MB;
+      c=5000, bb=8 -> 16.8 MB; both ~64 f32-pair copies per sorted entry).
+    """
     del itemsize  # f32 upcast dominates regardless of input dtype
-    budget = 4 * 1024 * 1024
-    bb = budget // max(k * d * 4, 1)
+    budget = 14 * 1024 * 1024     # stay under the 16 MB scoped-vmem limit
+    sort_width = 1
+    while sort_width < c + k:
+        sort_width *= 2
+    per_row = k * d * 4 + (sort_width * 256 if c else 0)
+    bb = budget // max(per_row, 1)
     p = 8
     while p * 2 <= min(bb, 128, max(8, b)):
         p *= 2
@@ -269,7 +283,7 @@ def beam_step(beam_keys: jax.Array, beam_packed: jax.Array,
     k = cand_ids.shape[1]
     d = vecs.shape[2]
     if not block_rows:
-        block_rows = _pick_block_rows(b, k, d, vecs.dtype.itemsize)
+        block_rows = _pick_block_rows(b, k, d, vecs.dtype.itemsize, c=c)
     bb = min(block_rows, max(8, b))
     pad_rows = (-b) % bb
     if pad_rows:
@@ -336,7 +350,7 @@ def beam_step_lvq(beam_keys: jax.Array, beam_packed: jax.Array,
     k = cand_ids.shape[1]
     d = codes.shape[2]
     if not block_rows:
-        block_rows = _pick_block_rows(b, k, d, 4)
+        block_rows = _pick_block_rows(b, k, d, 4, c=c)
     bb = min(block_rows, max(8, b))
     pad_rows = (-b) % bb
     if pad_rows:
