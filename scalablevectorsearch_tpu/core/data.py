@@ -174,6 +174,10 @@ class VectorDataset:
              dtype=None, capacity: Optional[int] = None) -> "VectorDataset":
         saveload.check_table(table, cls.SCHEMA, cls.VERSION)
         x = ctx.load_array(table["binary_file"])
+        if x.dtype.kind == "V":
+            # np.save stores extension dtypes (bfloat16) as raw void
+            # bytes; view them back through the recorded eltype
+            x = x.view(jnp.dtype(table["eltype"]))
         return cls.from_array(x, dtype=dtype or table["eltype"],
                               capacity=capacity)
 

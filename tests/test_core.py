@@ -86,6 +86,18 @@ class TestVectorDataset:
         np.testing.assert_allclose(ds2.to_numpy(), x, rtol=1e-6)
         assert ds2.n == 10 and ds2.dim == 20
 
+    def test_save_load_bf16(self, tmp_path, rng):
+        """np.save stores extension dtypes (bfloat16) as raw void bytes —
+        the loader must view them back through the recorded eltype (the
+        10M bf16 IVF posting layout persists through this path)."""
+        import jax.numpy as jnp
+        x = rng.normal(size=(10, 20)).astype(np.float32)
+        ds = VectorDataset.from_array(x, dtype=jnp.bfloat16)
+        saveload.save_to_disk(ds, str(tmp_path / "bf16"))
+        ds2 = saveload.load_from_disk(VectorDataset, str(tmp_path / "bf16"))
+        assert ds2.dtype == jnp.bfloat16
+        assert bool(jnp.all(ds2.vectors == ds.vectors))
+
 
 class TestNeighborGraph:
     def test_empty_and_replace(self):
