@@ -694,23 +694,10 @@ def main():
              f"({head['prune_roofline']['mxu_utilization']:.1%} of bf16 "
              f"peak)")
 
-    # the 10M phase runs BEFORE the 1M scale: with a persisted index it is
-    # serve-only, and the judged metric is Deep-10M (BASELINE configs[2]) —
-    # congestion-slowed 1M phases must never crowd it out of the budget
     ck_10m = os.environ.get("SVT_BENCH_10M_DIR", DEFAULT_10M_DIR)
     cached_10m = os.path.isdir(os.path.join(ck_10m, "index"))
     del data
     gc.collect()
-    scale_10m = None
-    want_10m = os.environ.get("SVT_BENCH_10M", "0") == "1" or (
-        os.environ.get("SVT_BENCH_10M", "") != "0" and cached_10m)
-    if want_10m:
-        try:
-            scale_10m = _scale_10m(k, alpha)
-        except Exception as e:                       # noqa: BLE001
-            _log(f"# 10M phase failed: {type(e).__name__}: {e}")
-            scale_10m = {"error": f"{type(e).__name__}: {e}"[:200]}
-        gc.collect()
 
     scale_1m = None
     elapsed = time.time() - started
@@ -727,6 +714,22 @@ def main():
             _log(f"# 1M phase failed: {type(e).__name__}: {e}")
             scale_1m = {"error": f"{type(e).__name__}: {e}"[:200]}
         del data1
+        gc.collect()
+
+    # the 10M phase runs LAST: with the persisted cache it is serve-only
+    # and runs regardless of elapsed budget (the judged metric is Deep-10M,
+    # BASELINE configs[2]), and a 10M HBM failure — which can poison the
+    # backend for subsequent allocations (measured) — can no longer cost
+    # the cheaper phases
+    scale_10m = None
+    want_10m = os.environ.get("SVT_BENCH_10M", "0") == "1" or (
+        os.environ.get("SVT_BENCH_10M", "") != "0" and cached_10m)
+    if want_10m:
+        try:
+            scale_10m = _scale_10m(k, alpha)
+        except Exception as e:                       # noqa: BLE001
+            _log(f"# 10M phase failed: {type(e).__name__}: {e}")
+            scale_10m = {"error": f"{type(e).__name__}: {e}"[:200]}
         gc.collect()
 
     out = {

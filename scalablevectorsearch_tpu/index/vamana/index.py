@@ -206,12 +206,14 @@ class VamanaIndex:
                  distance,
                  build_parameters: Optional[VamanaBuildParameters] = None,
                  search_parameters: Optional[VamanaSearchParameters] = None,
-                 # the lockstep loop is LATENCY-bound, nearly flat in B
-                 # (measured 100k w=11: 28.5 ms at B=512 vs 42.2 ms at
-                 # B=8192 device-resident -> 194k device QPS at B=8192,
-                 # 2.8x the B=2048 rate); one big batch per call beats
-                 # pipelined smaller ones e2e as well (PERF.md round 4)
-                 query_batch_size: int = 8192,
+                 # device-resident, the lockstep loop is LATENCY-bound and
+                 # nearly flat in B (194k QPS at B=8192 vs 69k at B=2048,
+                 # measured 100k w=11) — raise this for device-side or
+                 # very large query sets.  E2E through the serving tunnel,
+                 # 2048 measured FASTER (3 overlapped 1672-row batches
+                 # 99-115k vs one 5000-row batch 61-95k across sessions):
+                 # finer batches pipeline upload/compute/readback better.
+                 query_batch_size: int = 2048,
                  logger=None):
         self.graph = graph
         self.data = data
