@@ -209,13 +209,15 @@ def pack_padded_clusters_multi(x: np.ndarray, memberships: np.ndarray,
 
 
 @partial(jax.jit, static_argnames=(
-    "window", "max_iters", "max_probes", "keep", "slot", "sub", "distance"))
+    "window", "max_iters", "max_probes", "keep", "slot", "sub", "distance",
+    "tiles_per_step"))
 def inverted_search_kernel(graph: NeighborGraph, centroid_data: VectorDataset,
                            centroid_ids: jax.Array, data, ids_padded,
                            queries: jax.Array, entry_ids: jax.Array,
                            epsilon: jax.Array, *, window: int, max_iters: int,
                            max_probes: int, keep: int, slot: int, sub: int,
-                           distance: dist_ops.DistanceType):
+                           distance: dist_ops.DistanceType, scan_vecs=None,
+                           scan_ids=None, tiles_per_step: int = 1):
     """Primary graph search -> epsilon cutoff -> posting scan."""
     distance = dist_ops.as_distance(distance)
     q_norms = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)
@@ -233,18 +235,24 @@ def inverted_search_kernel(graph: NeighborGraph, centroid_data: VectorDataset,
 
     # replicated posting lists (closure assignment) surface the same id from
     # several probed clusters — the scan's running merge dedups in-flight
+    # (the super-row fast path composes: dedup keys off ids alone)
     return scan_padded_clusters(data, ids_padded, queries, q_norms, probes,
                                 probe_valid, keep=keep, slot=slot, sub=sub,
-                                distance=distance, dedup=True)
+                                distance=distance, dedup=True,
+                                scan_vecs=scan_vecs, scan_ids=scan_ids,
+                                tiles_per_step=tiles_per_step)
 
 
 @partial(jax.jit, static_argnames=(
-    "window", "max_iters", "max_probes", "keep", "slot", "sub", "distance"))
+    "window", "max_iters", "max_probes", "keep", "slot", "sub", "distance",
+    "tiles_per_step"))
 def _inverted_serve_batch(graph, centroid_data, centroid_ids, data,
-                          ids_padded, q, entry_ids, epsilon, *, window: int,
+                          ids_padded, q, entry_ids, epsilon, scan_vecs=None,
+                          scan_ids=None, *, window: int,
                           max_iters: int, max_probes: int, keep: int,
                           slot: int, sub: int,
-                          distance: dist_ops.DistanceType):
+                          distance: dist_ops.DistanceType,
+                          tiles_per_step: int = 1):
     """Fused serving dispatch: primary search + scan + key->distance
     conversion in one executable; ``q`` may arrive in a half-width upload
     dtype (see vamana/index.py `_search_batch`)."""
@@ -252,7 +260,9 @@ def _inverted_serve_batch(graph, centroid_data, centroid_ids, data,
     keys, ids = inverted_search_kernel(
         graph, centroid_data, centroid_ids, data, ids_padded, q, entry_ids,
         epsilon, window=window, max_iters=max_iters, max_probes=max_probes,
-        keep=keep, slot=slot, sub=sub, distance=distance)
+        keep=keep, slot=slot, sub=sub, distance=distance,
+        scan_vecs=scan_vecs, scan_ids=scan_ids,
+        tiles_per_step=tiles_per_step)
     return ids, dist_ops.value_from_key(distance, keys)
 
 
@@ -280,6 +290,9 @@ class InvertedIndex:
         self.build_parameters = build_parameters
         self.query_batch_size = query_batch_size
         self.scan_subtile = scan_subtile
+        self._scan_vecs = None      # super-row scan layout (ivf/index.py
+        self._scan_ids = None       #   ensure_scan_layout; ~10x posting scan)
+        self._scan_sub = 0
 
     # -- build ------------------------------------------------------------------
     @classmethod
@@ -348,9 +361,12 @@ class InvertedIndex:
         params = parameters or self.search_parameters
         window = max(params.primary_window_size, params.max_probes)
         max_probes = min(params.max_probes, self.num_centroids)
-        sub = min(self.scan_subtile, self.slot)
-        while self.slot % sub != 0:
-            sub //= 2
+        from ..ivf.index import (_pick_subtile, _resolve_tiles_per_step,
+                                 ensure_scan_layout)
+        sub = _pick_subtile(self.slot, self.scan_subtile)
+        use_scan = ensure_scan_layout(self, sub)
+        tiles = _resolve_tiles_per_step(
+            getattr(self, "scan_tiles_per_step", 0), self.slot // sub)
 
         queries = np.asarray(queries)
         if queries.ndim == 1:
@@ -376,10 +392,12 @@ class InvertedIndex:
             ids, vals = _inverted_serve_batch(
                 self.graph, self.centroid_data, self.centroid_ids,
                 self.data, self.ids_padded, q_i, entry_ids, eps,
+                self._scan_vecs if use_scan else None,
+                self._scan_ids if use_scan else None,
                 window=window,
                 max_iters=vamana_search.default_max_iters(window),
                 max_probes=max_probes, keep=k, slot=self.slot, sub=sub,
-                distance=self.distance)
+                distance=self.distance, tiles_per_step=tiles)
             pending.append((i * plan.rows, ids, vals))
         for _start, ids, vals in pending:
             ids.copy_to_host_async()

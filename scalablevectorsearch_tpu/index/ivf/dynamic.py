@@ -177,9 +177,10 @@ class DynamicIVFIndex:
         params = parameters or IVFSearchParameters()
         n_probes = min(params.n_probes, self.num_probe_units)
         keep = max(k * params.k_reorder, k)
-        sub = min(self.scan_subtile, self.slot)
-        while self.slot % sub != 0:
-            sub //= 2
+        from .index import _pick_subtile, _resolve_tiles_per_step
+        sub = _pick_subtile(self.slot, self.scan_subtile)
+        tiles = _resolve_tiles_per_step(
+            getattr(self, "scan_tiles_per_step", 0), self.slot // sub)
         queries = np.asarray(queries)
         if queries.ndim == 1:
             queries = queries[None, :]
@@ -203,7 +204,7 @@ class DynamicIVFIndex:
                 self.centroids, self.centroid_norms, self.data,
                 self.ids_padded, None, q_i, k=k, n_probes=n_probes,
                 keep=keep, slot=self.slot, sub=sub, distance=self.distance,
-                rerank=False)
+                rerank=False, tiles_per_step=tiles)
             pending.append((i * plan.rows, slots, vals))
         for _start, slots, vals in pending:
             slots.copy_to_host_async()

@@ -46,11 +46,72 @@ from .params import IVFBuildParameters, IVFSearchParameters
 CONFIG_FILENAME = "ivf_config.json"
 
 
+def _pick_subtile(slot: int, scan_subtile: int) -> int:
+    """Largest divisor of ``slot`` <= ``scan_subtile``.
+
+    ``sub`` must divide ``slot`` (the fori scan covers slot/sub tiles per
+    probe); the old power-of-two fallback collapsed hard on awkward slots
+    (slot=2112 with subtile 256 halved to 64 -> 33 merge steps per probe
+    where the 192-divisor needs 11)."""
+    sub = min(scan_subtile, slot)
+    while slot % sub != 0:
+        sub -= 1
+    return sub
+
+
+def _resolve_tiles_per_step(requested: int, n_sub: int) -> int:
+    """Resolve the per-step chunk size (0 = auto).
+
+    Auto currently folds the WHOLE probed cluster per step (g = n_sub):
+    measured at 10M (K=9486, slot=2112, sub=192, bf16 super-rows) the
+    per-probe merge beats per-sub-tile merges — same total gathers, ~5x
+    less bitonic-sort work (see scan_padded_clusters docstring)."""
+    if requested <= 0:
+        return n_sub
+    return min(requested, n_sub)
+
+
+def ensure_scan_layout(index, sub: int) -> bool:
+    """Materialize the super-row scan layout on any padded-posting index
+    (``data``/``ids_padded``/``slot`` + ``_scan_*`` cache fields): the
+    shared implementation behind ``IVFIndex._ensure_scan_layout`` and
+    ``InvertedIndex`` (see that method's docstring for the memory
+    trade-offs and the in-jit-reshape OOM trap)."""
+    if os.environ.get("SVT_IVF_SCAN_LAYOUT", "1") == "0":
+        return False
+    if index._scan_sub == sub and index._scan_vecs is not None:
+        return True
+    total = index.ids_padded.shape[0]
+    dense = getattr(index.data, "vectors", None)
+    if (dense is None or getattr(dense, "ndim", 0) != 2
+            or not jnp.issubdtype(dense.dtype, jnp.floating)
+            or dense.shape[0] < total or index.slot % sub != 0):
+        return False
+    d_pad = dense.shape[1]
+    # drop a stale layout BEFORE building the next one: two scan
+    # copies + the dataset cannot coexist at 10M scale
+    index._scan_vecs = index._scan_ids = None
+    index._scan_sub = 0
+    reshape = jax.jit(
+        lambda v, i: (v[:total].reshape(total // sub, sub * d_pad),
+                      i.reshape(total // sub, sub)))
+    try:
+        index._scan_vecs, index._scan_ids = reshape(dense, index.ids_padded)
+    except Exception:                            # noqa: BLE001
+        # HBM too tight for the extra dataset-sized resident (large
+        # subtiles at 10M): fall back to the protocol-gather path
+        index._scan_vecs = index._scan_ids = None
+        return False
+    index._scan_sub = sub
+    return True
+
+
 def scan_padded_clusters(data, ids_padded: jax.Array, queries: jax.Array,
                          q_norms: jax.Array, probes: jax.Array,
                          probe_valid: jax.Array, *, keep: int, slot: int,
                          sub: int, distance: dist_ops.DistanceType,
-                         dedup: bool = False):
+                         dedup: bool = False, scan_vecs=None,
+                         scan_ids=None, tiles_per_step: int = 1):
     """Posting-list scan over uniform padded clusters (search_leaves analog,
     common.h:897-925): fori over (probe, sub-tile) steps, each row-gathering
     one tile per query and folding into a running top-``keep``.
@@ -64,44 +125,92 @@ def scan_padded_clusters(data, ids_padded: jax.Array, queries: jax.Array,
     per probed copy and its duplicates crowd distinct ids out of the
     top-``keep`` (the same failure mode as the round-2 build-pool
     duplicate crowding).  Single-assignment layouts (IVF) skip the
-    (B, sub, keep) compare."""
+    (B, sub, keep) compare.
+
+    **Super-row fast path** (``scan_vecs``/``scan_ids`` given): the HBM
+    gather is per-ROW limited (~9 ns/row regardless of row bytes, PERF.md
+    round 2), so gathering ``sub`` individual d-wide rows per query per
+    step costs ``sub`` row latencies where ONE contiguous ``sub*d``
+    super-row costs one — the same fewer/larger-rows trade that made
+    Vamana's packed neighborhoods fast.  Posting slots are contiguous by
+    construction (unit u owns rows [u*slot, (u+1)*slot)), so the
+    (total/sub, sub*d) scan layout exposes each sub-tile as a single
+    gatherable row; norms are recomputed from the gathered rows instead
+    of gathered separately (the norms-gather removal was +55 % serving
+    QPS on Vamana, CLAUDE.md).  The layout MUST be materialized outside
+    the kernel (``IVFIndex._ensure_scan_layout``): TPU arrays are
+    (8,128)-tiled, so the reshape is a real re-layout — done in-kernel,
+    XLA re-materializes a full-dataset temp per call (measured 5.8 GB at
+    10M, OOM).  Compressed datasets (LVQ/SQ codes need per-row decode
+    state) use the protocol-gather path (``scan_vecs=None``).
+
+    ``tiles_per_step`` (g): gather g consecutive sub-tiles of the SAME
+    probed cluster per fori step and fold them in one merge.  The total
+    gather count is unchanged (g rows/step x steps/g); what changes is
+    the sequential structure — one sort of width g*sub+keep replaces g
+    sorts of width sub+keep, and the per-step gather exposes g-way
+    parallelism to hide HBM latency.  Bitonic sort work scales ~log^2 of
+    the width, so fewer/bigger merges win whenever the merge (not the
+    matvec) dominates.  Chunks never span probes, which keeps dedup
+    correct: replicated ids (inverted closure) appear at most once per
+    cluster, so in-tile candidates are unique and the mask against the
+    running buffer suffices."""
     b = queries.shape[0]
     n_probes = probes.shape[1]
     n_sub = slot // sub
+    g = max(1, min(int(tiles_per_step), n_sub))
+    while n_sub % g != 0:
+        g -= 1
+    chunks = n_sub // g
     init = (jnp.full((b, keep), jnp.inf, jnp.float32),
             jnp.full((b, keep), -1, jnp.int32))
+    use_super = scan_vecs is not None
+    if use_super:
+        d_pad = scan_vecs.shape[1] // sub
 
     def body(step, carry):
         best_keys, best_ids = carry
-        p = step // n_sub
-        s = step % n_sub
+        p = step // chunks
+        c = step % chunks
         cluster = jnp.take_along_axis(probes, p[None, None].repeat(b, 0),
                                       axis=1)[:, 0]
         ok = jnp.take_along_axis(probe_valid, p[None, None].repeat(b, 0),
                                  axis=1)[:, 0] & (cluster >= 0)
-        base = jnp.maximum(cluster, 0) * slot + s * sub
-        rows = base[:, None] + jnp.arange(sub, dtype=jnp.int32)[None, :]
-        orig_ids = jnp.take(ids_padded, rows, mode="clip")       # (B, sub)
-        vecs = data.get(rows)                                    # (B, sub, d)
-        norms = jnp.take(data.norms_sq, rows, mode="clip")
-        keys = dist_ops.gathered_keys(distance, queries, vecs,
-                                      gathered_norms_sq=norms,
-                                      query_norms_sq=q_norms)
+        if use_super:
+            srow = (jnp.maximum(cluster, 0) * n_sub)[:, None] + c * g + \
+                jnp.arange(g, dtype=jnp.int32)[None, :]            # (B, g)
+            orig_ids = jnp.take(scan_ids, srow, axis=0,
+                                mode="clip").reshape(b, g * sub)
+            vecs = jnp.take(scan_vecs, srow, axis=0,
+                            mode="clip").reshape(b, g * sub, d_pad)
+            keys = dist_ops.gathered_keys(distance, queries, vecs,
+                                          query_norms_sq=q_norms)
+        else:
+            base = jnp.maximum(cluster, 0) * slot + c * (g * sub)
+            rows = base[:, None] + \
+                jnp.arange(g * sub, dtype=jnp.int32)[None, :]
+            orig_ids = jnp.take(ids_padded, rows, mode="clip")  # (B, g*sub)
+            vecs = data.get(rows)                            # (B, g*sub, d)
+            norms = jnp.take(data.norms_sq, rows, mode="clip")
+            keys = dist_ops.gathered_keys(distance, queries, vecs,
+                                          gathered_norms_sq=norms,
+                                          query_norms_sq=q_norms)
         keys = jnp.where((orig_ids >= 0) & ok[:, None], keys, jnp.inf)
         if dedup:
             keys = topk_ops.mask_duplicate_ids(keys, orig_ids, best_ids)
         return topk_ops.merge_smallest(best_keys, best_ids, keys,
                                        orig_ids, keep)
 
-    return jax.lax.fori_loop(0, n_probes * n_sub, body, init)
+    return jax.lax.fori_loop(0, n_probes * chunks, body, init)
 
 
 @partial(jax.jit, static_argnames=(
-    "n_probes", "keep", "slot", "sub", "distance"))
+    "n_probes", "keep", "slot", "sub", "distance", "tiles_per_step"))
 def ivf_search_kernel(centroids: jax.Array, centroid_norms: jax.Array,
                       data, ids_padded: jax.Array, queries: jax.Array,
                       *, n_probes: int, keep: int, slot: int, sub: int,
-                      distance: dist_ops.DistanceType):
+                      distance: dist_ops.DistanceType, scan_vecs=None,
+                      scan_ids=None, tiles_per_step: int = 1):
     """Two-phase IVF search for a query batch.
 
     Returns (keys (B, keep), ids (B, keep)) in original-id space.
@@ -119,7 +228,9 @@ def ivf_search_kernel(centroids: jax.Array, centroid_norms: jax.Array,
 
     return scan_padded_clusters(data, ids_padded, queries, q_norms, probes,
                                 probe_valid, keep=keep, slot=slot, sub=sub,
-                                distance=distance)
+                                distance=distance, scan_vecs=scan_vecs,
+                                scan_ids=scan_ids,
+                                tiles_per_step=tiles_per_step)
 
 
 @partial(jax.jit, static_argnames=("k", "distance"))
@@ -139,11 +250,13 @@ def rerank_kernel(rerank_data, queries: jax.Array, cand_keys: jax.Array,
 
 
 @partial(jax.jit, static_argnames=(
-    "k", "n_probes", "keep", "slot", "sub", "distance", "rerank"))
+    "k", "n_probes", "keep", "slot", "sub", "distance", "rerank",
+    "tiles_per_step"))
 def _ivf_serve_batch(centroids, centroid_norms, data, ids_padded,
-                     rerank_data, q, *, k: int, n_probes: int, keep: int,
+                     rerank_data, q, scan_vecs=None, scan_ids=None,
+                     *, k: int, n_probes: int, keep: int,
                      slot: int, sub: int, distance: dist_ops.DistanceType,
-                     rerank: bool):
+                     rerank: bool, tiles_per_step: int = 1):
     """One fully-fused IVF serving dispatch: centroid select + posting scan
     + (optional) rerank + key->distance conversion, mirroring Vamana's
     `_search_batch` (index/vamana/index.py) — the host does nothing between
@@ -152,7 +265,9 @@ def _ivf_serve_batch(centroids, centroid_norms, data, ids_padded,
     q = q.astype(jnp.float32)
     keys, ids = ivf_search_kernel(
         centroids, centroid_norms, data, ids_padded, q,
-        n_probes=n_probes, keep=keep, slot=slot, sub=sub, distance=distance)
+        n_probes=n_probes, keep=keep, slot=slot, sub=sub, distance=distance,
+        scan_vecs=scan_vecs, scan_ids=scan_ids,
+        tiles_per_step=tiles_per_step)
     if rerank:
         keys, ids = rerank_kernel(rerank_data, q, keys, ids, k=k,
                                   distance=distance)
@@ -190,11 +305,32 @@ class IVFIndex:
         self.rerank_data = rerank_data
         self.query_batch_size = query_batch_size
         self.scan_subtile = scan_subtile
+        # sub-tiles of one probed cluster folded per scan step (0 = auto);
+        # see scan_padded_clusters: fewer/bigger merges at equal gathers
+        self.scan_tiles_per_step = int(
+            os.environ.get("SVT_IVF_TILES_PER_STEP", "0"))
         self.logger = logger
         # chunked layouts have more probe units than logical clusters
         # (oversized clusters split into units replicating their centroid)
         self.n_clusters = int(n_clusters if n_clusters is not None
                               else self.centroids.shape[0])
+        self._scan_vecs = None      # (total/sub, sub*d_pad) super-row layout
+        self._scan_ids = None       # (total/sub, sub)
+        self._scan_sub = 0
+
+    def _ensure_scan_layout(self, sub: int) -> bool:
+        """Materialize the super-row scan layout for ``sub`` once.
+
+        TPU arrays are (8,128)-tiled: the (total, d) -> (total/sub, sub*d)
+        reshape is a real re-layout, so it must happen ONCE here — inside
+        the serve executable XLA re-materializes a full-dataset temp per
+        call (measured 5.8 GB at 10M bf16, OOM at larger subtiles).
+        Costs one extra dataset-sized HBM resident; disable with
+        ``SVT_IVF_SCAN_LAYOUT=0`` when memory is tighter than the ~10x
+        serving win (measured 648 -> 6303 QPS at 10M, sub=192).  Only
+        plain dense datasets qualify (compressed codes need per-row
+        decode state)."""
+        return ensure_scan_layout(self, sub)
 
     # -- assembly ----------------------------------------------------------------
     @classmethod
@@ -315,9 +451,10 @@ class IVFIndex:
         params = parameters or self.search_parameters
         n_probes = min(params.n_probes, self.num_probe_units)
         keep = max(k * params.k_reorder, k)
-        sub = min(self.scan_subtile, self.slot)
-        while self.slot % sub != 0:
-            sub //= 2
+        sub = _pick_subtile(self.slot, self.scan_subtile)
+        use_scan = self._ensure_scan_layout(sub)
+        tiles = _resolve_tiles_per_step(self.scan_tiles_per_step,
+                                        self.slot // sub)
 
         queries = np.asarray(queries)
         if queries.ndim == 1:
@@ -345,8 +482,11 @@ class IVFIndex:
             ids, vals = _ivf_serve_batch(
                 self.centroids, self.centroid_norms, self.data,
                 self.ids_padded, self.rerank_data if rerank else None, q_i,
+                self._scan_vecs if use_scan else None,
+                self._scan_ids if use_scan else None,
                 k=k, n_probes=n_probes, keep=keep, slot=self.slot, sub=sub,
-                distance=self.distance, rerank=rerank)
+                distance=self.distance, rerank=rerank,
+                tiles_per_step=tiles)
             pending.append((i * plan.rows, ids, vals))
         for _start, ids, vals in pending:
             ids.copy_to_host_async()

@@ -176,15 +176,15 @@ def sharded_ivf_search(mesh: Mesh, index, queries: jax.Array, k: int, *,
     Returns replicated (B, k) keys and original ids.
     """
     import dataclasses
-    from ..index.ivf.index import scan_padded_clusters
+    from ..index.ivf.index import (_pick_subtile, _resolve_tiles_per_step,
+                                   scan_padded_clusters)
 
     distance = index.distance
     n_shards = mesh.shape[axis]
     kk = int(k)
     slot = index.slot
-    eff_sub = min(sub, slot)
-    while slot % eff_sub != 0:
-        eff_sub //= 2
+    eff_sub = _pick_subtile(slot, sub)
+    eff_tiles = _resolve_tiles_per_step(0, slot // eff_sub)
     # shard by PROBE UNIT (= centroid row): chunked layouts have more
     # units than logical clusters (oversized clusters split into units
     # that replicate their centroid — index.py assemble_from_clustering)
@@ -225,7 +225,8 @@ def sharded_ivf_search(mesh: Mesh, index, queries: jax.Array, k: int, *,
         keys, ids = scan_padded_clusters(
             local_data, idpad, q, q_norms,
             jnp.where(mine, local_probe, 0), mine,
-            keep=kk, slot=slot, sub=eff_sub, distance=distance)
+            keep=kk, slot=slot, sub=eff_sub, distance=distance,
+            tiles_per_step=eff_tiles)
         all_keys = jax.lax.all_gather(keys, axis, axis=1)     # (B, S, k)
         all_ids = jax.lax.all_gather(ids, axis, axis=1)
         b = q.shape[0]

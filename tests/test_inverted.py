@@ -67,6 +67,25 @@ class TestInvertedIndex:
             np.testing.assert_array_equal(res.ids, sync.ids)
             np.testing.assert_array_equal(res.distances, sync.distances)
 
+    def test_scan_layout_parity(self, built, monkeypatch):
+        """Super-row scan layout (ivf/index.py ensure_scan_layout) must
+        return the same neighbors through the inverted path, where the
+        posting scan runs with dedup=True over replicated lists."""
+        monkeypatch.setenv("SVT_QUERY_UPLOAD_DTYPE", "float32")
+        index, data, queries, gt = built
+        sp = InvertedSearchParameters(primary_window_size=32,
+                                      refinement_epsilon=2.0, max_probes=16)
+        monkeypatch.setenv("SVT_IVF_SCAN_LAYOUT", "0")
+        index._scan_vecs = index._scan_ids = None
+        index._scan_sub = 0
+        plain = index.search(queries, 10, sp)
+        monkeypatch.setenv("SVT_IVF_SCAN_LAYOUT", "1")
+        fast = index.search(queries, 10, sp)
+        assert index._scan_vecs is not None
+        np.testing.assert_array_equal(plain.ids, fast.ids)
+        np.testing.assert_allclose(plain.distances, fast.distances,
+                                   rtol=1e-4, atol=1e-4)
+
     def test_save_assemble(self, tmp_path, built):
         index, data, queries, gt = built
         index.save(str(tmp_path / "inv"))
