@@ -366,7 +366,8 @@ class InvertedIndex:
         sub = _pick_subtile(self.slot, self.scan_subtile)
         use_scan = ensure_scan_layout(self, sub)
         tiles = _resolve_tiles_per_step(
-            getattr(self, "scan_tiles_per_step", 0), self.slot // sub)
+            getattr(self, "scan_tiles_per_step", 0), self.slot // sub,
+            use_scan)
 
         queries = np.asarray(queries)
         if queries.ndim == 1:

@@ -59,16 +59,100 @@ def _pick_subtile(slot: int, scan_subtile: int) -> int:
     return sub
 
 
-def _resolve_tiles_per_step(requested: int, n_sub: int) -> int:
+def _resolve_tiles_per_step(requested: int, n_sub: int,
+                            use_scan: bool = False) -> int:
     """Resolve the per-step chunk size (0 = auto).
 
-    Auto currently folds the WHOLE probed cluster per step (g = n_sub):
-    measured at 10M (K=9486, slot=2112, sub=192, bf16 super-rows) the
-    per-probe merge beats per-sub-tile merges — same total gathers, ~5x
-    less bitonic-sort work (see scan_padded_clusters docstring)."""
+    Auto folds the WHOLE probed cluster per step (g = n_sub) only on the
+    super-row scan layout, where it was measured (10M, K=9486, slot=2112,
+    sub=192, bf16 super-rows): per-probe merges beat per-sub-tile merges —
+    same total gathers, ~5x less bitonic-sort work (see
+    scan_padded_clusters docstring).  On the protocol-gather fallback
+    (compressed datasets, DynamicIVFIndex, sharded scans) the per-step
+    gather transient is (B, g*sub, d) — folding the whole slot there grows
+    it ~8x (e.g. 2.2 GB at slot=2112/B=2048/d=128 f32) and was never
+    measured, so auto stays g=1 on that path."""
     if requested <= 0:
-        return n_sub
+        return n_sub if use_scan else 1
     return min(requested, n_sub)
+
+
+def _pack_layout_host(clustering, x: np.ndarray, max_posting_factor=None):
+    """Pack the padded posting layout entirely host-side.
+
+    Returns ``(centroids, rows, ids_padded, slot, n, n_clusters)`` as numpy
+    arrays (``centroids`` already expanded to one row per probe unit when
+    oversized clusters were chunked).  See
+    :meth:`IVFIndex.assemble_from_clustering` for the slot-cap policy."""
+    from ...lib import datatypes as dt
+    from .clustering import pack_padded_clusters
+    x = np.asarray(x, dtype=np.float32)
+    n = x.shape[0]
+    k = clustering.num_centroids
+    mean_slot = -(-n // max(k, 1))
+    factor = max_posting_factor
+    if factor is None:   # auto: only rescue pathological skew AT SCALE
+        sizes = np.bincount(np.asarray(clustering.assignments), minlength=k)
+        uncapped_total = k * int(dt.pad_to(max(int(sizes.max()), 1), 8))
+        # small layouts stay bit-identical to one-unit-per-cluster packing
+        # (golden tables / n_probes-counts-clusters parity); the cap exists
+        # to stop the max-driven layout from exhausting memory (48 GB
+        # measured at 10M x 96 / K=8192)
+        factor = 2.0 if (uncapped_total > 4 * n
+                         and uncapped_total > 5_000_000) else 0.0
+    slot_cap = int(factor * mean_slot) if factor else 0
+    rows, ids_padded, slot, owners = pack_padded_clusters(
+        x, clustering.assignments, k, slot_cap=slot_cap)
+    centroids = np.asarray(clustering.centroids, dtype=np.float32)
+    if owners.shape[0] != k:         # chunked: one probe unit per chunk
+        centroids = centroids[owners]
+    return centroids, rows, np.asarray(ids_padded), slot, n, k
+
+
+def save_packed_layout_host(config_dir: str, clustering, data, distance,
+                            eltype="bfloat16", max_posting_factor=None,
+                            search_parameters=None,
+                            build_parameters=None) -> None:
+    """Pack + persist an :class:`IVFIndex` checkpoint WITHOUT any device
+    round trip.
+
+    ``IVFIndex.save`` reads the (multi-GB at 10M) reordered dataset back
+    off the device; through the remote-TPU tunnel a blocking multi-GB
+    device->host read runs at ~2 MB/s (~45 min for 5 GB, PERF.md round 4).
+    Building passes that already hold the host f32 array should pack and
+    write host-side, then ``assemble_from_file`` the result.  The on-disk
+    format is identical to :meth:`IVFIndex.save` with a dense
+    ``eltype``-typed reordered dataset."""
+    centroids, rows, ids_padded, slot, n, k = _pack_layout_host(
+        clustering, data, max_posting_factor=max_posting_factor)
+    data_dir = os.path.join(config_dir, "data")
+    dctx = saveload.SaveContext(data_dir)
+    rows = rows.astype(jnp.dtype(eltype), copy=False)
+    dtable = saveload.save_table(
+        VectorDataset.SCHEMA, VectorDataset.VERSION, {
+            "name": "vector dataset",
+            "binary_file": dctx.save_array(rows),
+            "dims": int(rows.shape[1]),
+            "num_vectors": int(rows.shape[0]),
+            "eltype": str(jnp.dtype(eltype).name),
+        })
+    with open(os.path.join(data_dir, saveload.CONFIG_FILENAME), "w") as f:
+        json.dump(dtable, f, indent=2)
+    ctx = saveload.SaveContext(config_dir)
+    sp = search_parameters or IVFSearchParameters()
+    table = saveload.save_table(IVFIndex.SCHEMA, IVFIndex.VERSION, {
+        "distance": dist_ops.as_distance(distance).value,
+        "slot": int(slot),
+        "num_points": int(n),
+        "n_clusters": int(k),
+        "centroids": ctx.save_array(centroids),
+        "ids_padded": ctx.save_array(np.asarray(ids_padded, np.int32)),
+        "search_parameters": sp.save_table(),
+        "build_parameters": (build_parameters.save_table()
+                             if build_parameters else None),
+    })
+    with open(os.path.join(config_dir, CONFIG_FILENAME), "w") as f:
+        json.dump(table, f, indent=2)
 
 
 def ensure_scan_layout(index, sub: int) -> bool:
@@ -354,29 +438,9 @@ class IVFIndex:
         (golden tables, sharded parity).  0 = never cap."""
         x = data.to_numpy() if hasattr(data, "to_numpy") else \
             np.asarray(data, dtype=np.float32)
-        n = x.shape[0]
-        k = clustering.num_centroids
-        from ...lib import datatypes as dt
-        from .clustering import pack_padded_clusters
-        mean_slot = -(-n // max(k, 1))
-        factor = max_posting_factor
-        if factor is None:   # auto: only rescue pathological skew AT SCALE
-            sizes = np.bincount(np.asarray(clustering.assignments),
-                                minlength=k)
-            uncapped_total = k * int(dt.pad_to(max(int(sizes.max()), 1), 8))
-            # small layouts stay bit-identical to one-unit-per-cluster
-            # packing (golden tables / n_probes-counts-clusters parity);
-            # the cap exists to stop the max-driven layout from
-            # exhausting memory (48 GB measured at 10M x 96 / K=8192)
-            factor = 2.0 if (uncapped_total > 4 * n
-                             and uncapped_total > 5_000_000) else 0.0
-        slot_cap = int(factor * mean_slot) if factor else 0
-        rows, ids_padded, slot, owners = pack_padded_clusters(
-            x, clustering.assignments, k, slot_cap=slot_cap)
-        centroids = np.asarray(clustering.centroids, dtype=np.float32)
-        if owners.shape[0] != k:     # chunked: one probe unit per chunk
-            centroids = centroids[owners]
-        total = owners.shape[0] * slot
+        centroids, rows, ids_padded, slot, n, k = _pack_layout_host(
+            clustering, x, max_posting_factor=max_posting_factor)
+        total = ids_padded.shape[0]
 
         reordered = dataset_cls.compress(rows) if hasattr(
             dataset_cls, "compress") else dataset_cls.from_array(rows)
@@ -454,7 +518,7 @@ class IVFIndex:
         sub = _pick_subtile(self.slot, self.scan_subtile)
         use_scan = self._ensure_scan_layout(sub)
         tiles = _resolve_tiles_per_step(self.scan_tiles_per_step,
-                                        self.slot // sub)
+                                        self.slot // sub, use_scan)
 
         queries = np.asarray(queries)
         if queries.ndim == 1:

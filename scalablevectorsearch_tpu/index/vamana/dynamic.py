@@ -102,7 +102,7 @@ class MutableVamanaIndex:
 
     def __init__(self, parameters: VamanaBuildParameters, data, external_ids,
                  distance, *, capacity: Optional[int] = None,
-                 query_batch_size: int = 8192, pop_width: int = 4,
+                 query_batch_size: int = 2048, pop_width: int = 4,
                  logger=None):
         x = np.asarray(data, dtype=np.float32)
         n, dim = x.shape

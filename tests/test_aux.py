@@ -127,6 +127,31 @@ class TestUpgrader:
         for cls in upgrader._saveable_classes():
             assert versions[cls.SCHEMA] == str(cls.VERSION), cls
 
+    def test_saveable_module_list_cannot_drift(self):
+        """_saveable_classes enumerates modules by hand; a saveable class in
+        a module missing from that list would silently report unknown-schema
+        in inspect().  Grep the package for SCHEMA declarations and assert
+        every one is registered (round-4 ADVICE)."""
+        import re
+
+        import scalablevectorsearch_tpu as pkg
+        root = os.path.dirname(pkg.__file__)
+        declared = set()
+        for dirpath, _dirs, files in os.walk(root):
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                with open(os.path.join(dirpath, fname)) as f:
+                    declared.update(re.findall(
+                        r'^\s*SCHEMA\s*=\s*["\']([^"\']+)["\']',
+                        f.read(), re.MULTILINE))
+        assert declared, "grep found no SCHEMA declarations"
+        registered = set(upgrader.current_versions())
+        missing = declared - registered
+        assert not missing, (
+            f"saveable schemas missing from upgrader._saveable_classes: "
+            f"{sorted(missing)}")
+
     def test_every_dataset_kind_up_to_date(self, tmp_path, rng):
         """Save every dataset kind; inspect must report all up-to-date."""
         from scalablevectorsearch_tpu.core.data import VectorDataset

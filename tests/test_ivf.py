@@ -198,6 +198,43 @@ class TestIVFIndex:
         b = loaded.search(queries[:20], 5)
         np.testing.assert_array_equal(a.ids, b.ids)
 
+    def test_host_side_save_matches_device_save(self, tmp_path, built):
+        """save_packed_layout_host writes the same checkpoint WITHOUT a
+        device->host readback (multi-GB blocking reads crawl at ~2 MB/s
+        through the tunnel — round-4 ADVICE); an f32-eltype host save must
+        serve identically to the device save path."""
+        from scalablevectorsearch_tpu.index.ivf.clustering import Clustering
+        from scalablevectorsearch_tpu.index.ivf.index import (
+            save_packed_layout_host)
+        index, data, queries, gt = built
+        params = IVFBuildParameters(num_centroids=64, num_iterations=6,
+                                    training_fraction=0.5,
+                                    is_hierarchical=False)
+        clustering = Clustering.build(params, data)
+        via_device = IVFIndex.assemble_from_clustering(clustering, data,
+                                                       "l2")
+        via_device.save(str(tmp_path / "dev"))
+        save_packed_layout_host(str(tmp_path / "host"), clustering, data,
+                                "l2", eltype="float32")
+        a = IVFIndex.assemble_from_file(str(tmp_path / "dev"))
+        b = IVFIndex.assemble_from_file(str(tmp_path / "host"))
+        assert a.slot == b.slot and a.n == b.n
+        np.testing.assert_array_equal(np.asarray(a.ids_padded),
+                                      np.asarray(b.ids_padded))
+        sp = IVFSearchParameters(n_probes=8)
+        ra = a.search(queries[:64], 10, sp)
+        rb = b.search(queries[:64], 10, sp)
+        np.testing.assert_array_equal(ra.ids, rb.ids)
+        # bfloat16 eltype (the 10M cache format) must also roundtrip
+        save_packed_layout_host(str(tmp_path / "bf16"), clustering, data,
+                                "l2", eltype="bfloat16")
+        c = IVFIndex.assemble_from_file(str(tmp_path / "bf16"))
+        import jax.numpy as jnp
+        assert c.data.dtype == jnp.bfloat16
+        rc = c.search(queries[:64], 10, sp)
+        assert svt.k_recall_at_n(
+            np.asarray(ra.ids), rc) >= 0.95
+
     def test_mip_distance(self, clustered):
         data, queries = clustered
         params = IVFBuildParameters(num_centroids=32, num_iterations=4,
