@@ -390,6 +390,57 @@ def _pad1(a: np.ndarray, cap: int, fill: float = 0.0) -> jax.Array:
     return jnp.asarray(out)
 
 
+def compress_and_save_host(directory: str, x, bits: int = 8,
+                           residual_bits: int = 0) -> None:
+    """Compress + persist in one pass WITHOUT creating device arrays.
+
+    ``LVQDataset.compress`` returns device-resident arrays, so saving its
+    result reads the multi-GB code planes back off the chip — through the
+    remote-TPU tunnel a blocking multi-GB device->host read runs at
+    ~2 MB/s (PERF.md round 4).  10M-scale cache-building passes persist
+    straight from the host quantization math instead.  The on-disk format
+    is identical to :meth:`LVQDataset.save` (v0.0.2 padded, packed rows),
+    so ``dispatch_load`` reads either."""
+    import json
+    import os
+
+    if bits not in (4, 8) or residual_bits not in (0, 4, 8):
+        raise ValueError(f"unsupported ({bits}, {residual_bits})")
+    x = np.asarray(x, dtype=np.float32)
+    n, dim = x.shape
+    mean = x.mean(axis=0)
+    codes, scales, biases = _quantize_primary(x - mean, bits)
+    d_pad = dt.padded_dim(dim)
+
+    def packed(c, b):
+        padded = np.zeros((n, d_pad), dtype=np.int8)
+        padded[:, :dim] = c
+        return _pack4(padded) if b == 4 else padded
+
+    ctx = saveload.SaveContext(directory)
+    table = {
+        "name": "lvq dataset",
+        "codes": ctx.save_array(packed(codes, bits)),
+        "scales": ctx.save_array(np.asarray(scales, np.float32)),
+        "biases": ctx.save_array(np.asarray(biases, np.float32)),
+        "mean": ctx.save_array(np.asarray(mean, np.float32)),
+        "dims": dim,
+        "num_vectors": n,
+        "bits": bits,
+        "residual_bits": residual_bits,
+    }
+    if residual_bits:
+        recon1 = mean + biases[:, None] + \
+            scales[:, None] * codes.astype(np.float32)
+        res_c, res_s = _quantize_residual(x - recon1, residual_bits)
+        del recon1
+        table["res_codes"] = ctx.save_array(packed(res_c, residual_bits))
+        table["res_scales"] = ctx.save_array(np.asarray(res_s, np.float32))
+    full = saveload.save_table(LVQDataset.SCHEMA, LVQDataset.VERSION, table)
+    with open(os.path.join(directory, saveload.CONFIG_FILENAME), "w") as f:
+        json.dump(full, f, indent=2)
+
+
 @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("rows",))
 def _norms_chunk(n1, n2, ds: "LVQDataset", start, n_live, *, rows: int):
     """Fill ``n1/n2[start:start+rows]`` with primary / two-level recon norms
