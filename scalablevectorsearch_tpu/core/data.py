@@ -182,6 +182,32 @@ class VectorDataset:
                               capacity=capacity)
 
 
+def save_vectors_host(directory: str, rows: np.ndarray,
+                      eltype=None) -> None:
+    """Persist a :class:`VectorDataset` checkpoint from a HOST row array
+    (same on-disk format as :meth:`VectorDataset.save`).
+
+    Multi-GB device->host readbacks crawl through the remote-TPU tunnel
+    (PERF.md round 4); building passes that still hold the host array
+    write it directly and ``dispatch_load`` the result."""
+    import json
+    import os
+
+    rows = np.asarray(rows)
+    if eltype is not None:
+        rows = rows.astype(jnp.dtype(eltype), copy=False)
+    ctx = saveload.SaveContext(directory)
+    table = saveload.save_table(VectorDataset.SCHEMA, VectorDataset.VERSION, {
+        "name": "vector dataset",
+        "binary_file": ctx.save_array(rows),
+        "dims": int(rows.shape[1]),
+        "num_vectors": int(rows.shape[0]),
+        "eltype": str(jnp.dtype(rows.dtype).name),
+    })
+    with open(os.path.join(directory, saveload.CONFIG_FILENAME), "w") as f:
+        json.dump(table, f, indent=2)
+
+
 @jax.jit
 def _norms_sq(vectors: jax.Array, n) -> jax.Array:
     """Row norms with +inf on padding rows.  MUST stay jitted: eager, the

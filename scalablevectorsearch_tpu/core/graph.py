@@ -147,3 +147,28 @@ class NeighborGraph:
         saveload.check_table(table, cls.SCHEMA, cls.VERSION)
         return cls.from_array(ctx.load_array(table["binary_file"]),
                               n=table["num_nodes"])
+
+
+def save_adjacency_host(directory: str, adjacency: np.ndarray,
+                        n: int = None) -> None:
+    """Persist a :class:`NeighborGraph` checkpoint from a HOST adjacency
+    array (same on-disk format as :meth:`NeighborGraph.save`).
+
+    At 10M nodes the adjacency is ~1.3 GB; reading it back off the device
+    for a plain ``save`` serializes the tunnel (~2 MB/s blocking reads,
+    PERF.md round 4).  Callers holding (or chunk-streaming,
+    ``lib.transfer.to_host_chunked``) a host copy write it directly."""
+    import json
+    import os
+
+    adjacency = np.asarray(adjacency, dtype=np.int32)
+    n = adjacency.shape[0] if n is None else n
+    ctx = saveload.SaveContext(directory)
+    table = saveload.save_table(NeighborGraph.SCHEMA, NeighborGraph.VERSION, {
+        "name": "neighbor graph",
+        "binary_file": ctx.save_array(adjacency[:n]),
+        "max_degree": int(adjacency.shape[1]),
+        "num_nodes": int(n),
+    })
+    with open(os.path.join(directory, saveload.CONFIG_FILENAME), "w") as f:
+        json.dump(table, f, indent=2)

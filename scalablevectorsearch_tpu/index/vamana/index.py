@@ -487,6 +487,31 @@ class VamanaIndex:
         os.makedirs(config_dir, exist_ok=True)
         saveload.save_to_disk(self.graph, graph_dir)
         saveload.save_to_disk(self.data, data_dir)
+        self._save_config(config_dir)
+
+    def save_host(self, config_dir: str, host_vectors) -> None:
+        """Save with NO multi-GB blocking device readbacks: the dataset is
+        written from the caller's host array (the build input), and the
+        adjacency streams off the device in pipelined chunks
+        (lib.transfer.to_host_chunked).  A plain :meth:`save` at 10M reads
+        ~6.4 GB back through the remote-TPU tunnel, which measured ~2 MB/s
+        blocking (PERF.md round 4).  On-disk format is identical to
+        :meth:`save` with an f32 dense dataset."""
+        from ...core.data import save_vectors_host
+        from ...core.graph import save_adjacency_host
+        from ...lib.transfer import to_host_chunked
+        os.makedirs(config_dir, exist_ok=True)
+        host_vectors = np.asarray(host_vectors, np.float32)
+        if host_vectors.shape[0] != self.size:
+            raise ValueError(
+                f"host_vectors rows {host_vectors.shape[0]} != index size "
+                f"{self.size}")
+        adjacency = to_host_chunked(self.graph.adjacency)[: self.graph.n]
+        save_adjacency_host(os.path.join(config_dir, "graph"), adjacency)
+        save_vectors_host(os.path.join(config_dir, "data"), host_vectors)
+        self._save_config(config_dir)
+
+    def _save_config(self, config_dir: str) -> None:
         build_table = (self.build_parameters.save_table()
                        if self.build_parameters else None)
         table = saveload.save_table(self.SCHEMA, self.VERSION, {
