@@ -258,3 +258,74 @@ class TestSvsNativeFormat:
         svio.write_svs(path, x)
         with pytest.raises(ValueError):
             svio.read_svs(path, dtype=np.float64)  # wrong itemsize
+
+
+class TestHostSideSaves:
+    """Host-side checkpoint writers must be byte-compatible with the
+    device-readback save paths (multi-GB blocking device->host reads crawl
+    at ~2 MB/s through the remote-TPU tunnel — PERF.md round 4)."""
+
+    def test_save_vectors_host_roundtrip(self, tmp_path, rng):
+        from scalablevectorsearch_tpu.core.data import save_vectors_host
+        from scalablevectorsearch_tpu.lib import saveload
+        x = rng.normal(size=(333, 17)).astype(np.float32)
+        ds = VectorDataset.from_array(x)
+        saveload.save_to_disk(ds, str(tmp_path / "dev"))
+        save_vectors_host(str(tmp_path / "host"), x)
+        a = saveload.load_from_disk(VectorDataset, str(tmp_path / "dev"))
+        b = saveload.load_from_disk(VectorDataset, str(tmp_path / "host"))
+        np.testing.assert_array_equal(a.to_numpy(), b.to_numpy())
+        assert a.n == b.n and a.dim == b.dim
+
+    def test_save_vectors_host_bf16(self, tmp_path, rng):
+        import jax.numpy as jnp
+        from scalablevectorsearch_tpu.core.data import save_vectors_host
+        from scalablevectorsearch_tpu.lib import saveload
+        x = rng.normal(size=(64, 8)).astype(np.float32)
+        save_vectors_host(str(tmp_path / "bf16"), x, eltype="bfloat16")
+        ds = saveload.load_from_disk(VectorDataset, str(tmp_path / "bf16"))
+        assert ds.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(ds.to_numpy(), np.float32), x, rtol=1e-2, atol=1e-2)
+
+    def test_save_adjacency_host_roundtrip(self, tmp_path, rng):
+        from scalablevectorsearch_tpu.core.graph import save_adjacency_host
+        from scalablevectorsearch_tpu.lib import saveload
+        adj = rng.integers(0, 500, size=(501, 9)).astype(np.int32)
+        adj[:, 5:] = SENTINEL
+        g = NeighborGraph.from_array(adj)
+        saveload.save_to_disk(g, str(tmp_path / "dev"))
+        save_adjacency_host(str(tmp_path / "host"), adj)
+        a = saveload.load_from_disk(NeighborGraph, str(tmp_path / "dev"))
+        b = saveload.load_from_disk(NeighborGraph, str(tmp_path / "host"))
+        np.testing.assert_array_equal(np.asarray(a.adjacency),
+                                      np.asarray(b.adjacency))
+        np.testing.assert_array_equal(np.asarray(a.degrees),
+                                      np.asarray(b.degrees))
+        assert a.n == b.n and a.max_degree == b.max_degree
+
+
+class TestDatasetDistributions:
+    """generate_test_dataset distribution modes (round-4 VERDICT weak-5:
+    every benchmark number came from one easy clustered synthetic)."""
+
+    def test_uniform_has_no_cluster_structure(self):
+        xc, _ = svio.generate_test_dataset(2000, 10, 32, seed=3)
+        xu, qu = svio.generate_test_dataset(2000, 10, 32, seed=3,
+                                            distribution="uniform")
+        assert xu.shape == (2000, 32) and qu.shape == (10, 32)
+        # clustered data has much larger spread (centers at scale 10)
+        assert xc.std() > 3 * xu.std()
+        assert abs(xu.mean()) < 0.05 and abs(xu.std() - 1.0) < 0.05
+
+    def test_overlap_sits_between(self):
+        xc, _ = svio.generate_test_dataset(4000, 10, 16, seed=5)
+        xo, _ = svio.generate_test_dataset(4000, 10, 16, seed=5,
+                                           distribution="overlap")
+        xu, _ = svio.generate_test_dataset(4000, 10, 16, seed=5,
+                                           distribution="uniform")
+        assert xu.std() < xo.std() < xc.std()
+
+    def test_unknown_distribution_raises(self):
+        with pytest.raises(ValueError):
+            svio.generate_test_dataset(10, 2, 4, distribution="nope")

@@ -111,3 +111,19 @@ class TestTimer:
         rep = t.report()
         assert "outer" in rep and "inner" in rep
         assert t.root.children["outer"].children["inner"].calls == 2
+
+
+class TestTransfer:
+    def test_to_host_chunked_matches_asarray(self):
+        import jax.numpy as jnp
+        from scalablevectorsearch_tpu.lib.transfer import to_host_chunked
+        a = jnp.arange(1000 * 7, dtype=jnp.int32).reshape(1000, 7)
+        np.testing.assert_array_equal(to_host_chunked(a, row_chunk=128),
+                                      np.asarray(a))
+        # single-chunk fast path
+        np.testing.assert_array_equal(to_host_chunked(a, row_chunk=4096),
+                                      np.asarray(a))
+        # non-divisible tail + 1-D
+        b = jnp.arange(999, dtype=jnp.float32)
+        np.testing.assert_array_equal(to_host_chunked(b, row_chunk=100),
+                                      np.asarray(b))

@@ -687,3 +687,26 @@ class TestServingDispatch:
         out = built_index.search(big, 5)
         assert np.all(np.isfinite(out.distances)), out.distances
         assert np.all(out.ids >= 0)
+
+
+class TestSaveHost:
+    def test_save_host_matches_save(self, tmp_path, built_index,
+                                    small_dataset):
+        """save_host (dataset from the host array, adjacency streamed in
+        chunks — no multi-GB device readback) must produce a checkpoint
+        that serves bit-identically to save()."""
+        data, queries = small_dataset
+        built_index.save(str(tmp_path / "dev"))
+        built_index.save_host(str(tmp_path / "host"), data)
+        a = VamanaIndex.assemble(str(tmp_path / "dev"))
+        b = VamanaIndex.assemble(str(tmp_path / "host"))
+        ra = a.search(queries[:32], 10)
+        rb = b.search(queries[:32], 10)
+        np.testing.assert_array_equal(ra.ids, rb.ids)
+        np.testing.assert_allclose(ra.distances, rb.distances, rtol=1e-6)
+
+    def test_save_host_rejects_wrong_rows(self, tmp_path, built_index,
+                                          small_dataset):
+        data, _ = small_dataset
+        with pytest.raises(ValueError):
+            built_index.save_host(str(tmp_path / "bad"), data[:-1])
