@@ -2,6 +2,7 @@
 of the reference's threadpool/NUMA coverage, exercised the way the driver's
 dryrun does (SURVEY §4 TPU translation note)."""
 
+import os
 import numpy as np
 import pytest
 import jax
@@ -520,3 +521,109 @@ class TestShardedDynamic:
         r_sh = idx.search(queries, 5)
         r_sc = single.search(queries, 5)
         np.testing.assert_array_equal(r_sh.ids, r_sc.ids)
+
+
+class TestShardedMidScale:
+    """Mid-scale ragged-shard coverage (round-4 VERDICT next-6):
+    collective-shape and padding bugs characteristically appear when shards
+    are large and ragged — every older multi-device test used n <= 3k.
+
+    Sizes here are the largest that fit the suite budget on the 8-virtual-
+    device single-core CPU mesh: the ragged build-parity test costs ~5 min
+    there and the cost is COMPILE-dominated (12k and 20k builds measured
+    within seconds of each other; a 100k one > 25 min), so it runs at 20k.
+    The asserted properties (bit-identical sharded build adjacency,
+    bit-identical sharded serving, growth across a capacity boundary) are
+    size-independent.  Set SVT_MIDSCALE_FULL=1 to run the 100k variant
+    standalone:  SVT_MIDSCALE_FULL=1 pytest tests/test_parallel.py -k full
+    (recorded green in COVERAGE.md round 5)."""
+
+    N_RAGGED = 20_005        # not divisible by 8 shards x 8-row blocks
+
+    def _build_parity(self, n):
+        from scalablevectorsearch_tpu.index.vamana import build as build_mod
+        from scalablevectorsearch_tpu.index.vamana.params import (
+            VamanaBuildParameters)
+        from scalablevectorsearch_tpu.index.vamana.search import (
+            default_max_iters, greedy_search)
+        data, queries = svt.generate_test_dataset(n, 100, 16, seed=29)
+        ds = VectorDataset.from_array(data)
+        mesh = mesh_mod.make_mesh(8, axis_name="shard")
+        params = VamanaBuildParameters(
+            alpha=1.1, graph_max_degree=8, window_size=12,
+            max_candidate_pool_size=24, prune_to=7)
+        g_sh, e_sh = sharded.sharded_build_graph(mesh, ds, params, "l2",
+                                                 batch_size=8192)
+        g_one, e_one = build_mod.build_graph(ds, params, "l2",
+                                             batch_size=8192)
+        assert e_sh == e_one
+        np.testing.assert_array_equal(np.asarray(g_sh.adjacency)[:n],
+                                      np.asarray(g_one.adjacency)[:n])
+        np.testing.assert_array_equal(np.asarray(g_sh.degrees)[:n],
+                                      np.asarray(g_one.degrees)[:n])
+        # sharded serving must be bit-identical to single-chip on the
+        # mid-scale ragged graph (absolute recall is a graph-quality
+        # property gated by the goldens/bench, not a sharding property —
+        # this deliberately low-degree graph disconnects on clustered data)
+        q = jnp.asarray(pad_matrix(queries))
+        eids = jnp.asarray([e_one], jnp.int32)
+        kw = dict(window=24, capacity=24, max_iters=default_max_iters(24),
+                  distance="l2")
+        ref = greedy_search(g_one, ds, q, eids, **kw)
+        out = sharded.sharded_greedy_search(mesh, g_sh, ds, q, eids, **kw)
+        np.testing.assert_array_equal(np.asarray(ref.ids),
+                                      np.asarray(out.ids))
+
+    def test_build_and_serving_parity_ragged(self, eight_devices):
+        self._build_parity(self.N_RAGGED)
+
+    @pytest.mark.skipif(os.environ.get("SVT_MIDSCALE_FULL") != "1",
+                        reason="~30 min on the CPU mesh; set "
+                               "SVT_MIDSCALE_FULL=1 to run")
+    def test_build_and_serving_parity_100k_full(self, eight_devices):
+        self._build_parity(100_003)
+
+    def test_dynamic_growth_across_capacity_boundary(self, eight_devices):
+        """Sharded add/delete/compact cycle whose adds cross the blocked
+        capacity boundary (growth re-lays out BOTH sharded structures;
+        round-4 VERDICT next-6 asked for exactly this at ragged sizes)."""
+        from scalablevectorsearch_tpu.index.vamana.dynamic import (
+            MutableVamanaIndex)
+        from scalablevectorsearch_tpu.index.vamana.params import (
+            VamanaBuildParameters)
+        from scalablevectorsearch_tpu.parallel.dynamic import (
+            ShardedMutableVamanaIndex)
+        n0, n_add = 4_003, 1_200           # ragged start, growth-crossing add
+        data, queries = svt.generate_test_dataset(n0 + n_add, 32, 24,
+                                                  seed=31)
+        params = VamanaBuildParameters(
+            alpha=1.1, graph_max_degree=12, window_size=24,
+            max_candidate_pool_size=48, prune_to=10)
+        mesh = mesh_mod.make_mesh(8, axis_name="shard")
+        ext = np.arange(n0, dtype=np.int64)
+        sc = MutableVamanaIndex(params, data[:n0], ext, "l2",
+                                capacity=n0)
+        sh = ShardedMutableVamanaIndex.from_single_chip(sc, mesh)
+        cap0 = sh.capacity
+        assert n0 + n_add > cap0, "fixture must cross the capacity boundary"
+
+        new_ids = np.arange(10_000, 10_000 + n_add, dtype=np.int64)
+        sc.add_points(data[n0:], new_ids)
+        sh.add_points(data[n0:], new_ids)
+        assert sh.capacity > cap0
+        r_sc = sc.search(queries, 5)
+        r_sh = sh.search(queries, 5)
+        np.testing.assert_array_equal(r_sc.ids, r_sh.ids)
+
+        # delete a stripe spanning shard boundaries, consolidate, compact
+        sc.delete_points(np.arange(100, 700))
+        sh.delete_points(np.arange(100, 700))
+        sc.consolidate()
+        sh.consolidate()
+        sc.compact()
+        sh.compact()
+        assert sc.size == sh.size == n0 + n_add - 600
+        np.testing.assert_array_equal(sc.all_ids(), sh.all_ids())
+        r_sc = sc.search(queries, 5)
+        r_sh = sh.search(queries, 5)
+        np.testing.assert_array_equal(r_sc.ids, r_sh.ids)
