@@ -409,12 +409,17 @@ class VamanaIndex:
         capacity = max(cfg.search_buffer_capacity, window, k_eff)
         # Two-level compressed datasets traverse on the coarse primary and
         # rerank the retained beam with the residual-corrected
-        # reconstruction; retain 2x the window by default so the rerank has
-        # a real candidate pool (the reference's calibration_uses_reranking
-        # flow widens the buffer the same way; measured +0.07 recall@10 on
-        # LVQ4x8 at equal window).
+        # reconstruction; DEFAULTED configs retain 2x the window so the
+        # rerank has a real candidate pool (the reference's
+        # calibration_uses_reranking flow widens the buffer the same way;
+        # +0.07 recall@10 on LVQ4x8 at equal window, PERF.md round 3; on
+        # LVQ8x8 at 10M, 1.25x retention measured -0.0015 recall for
+        # QPS within tunnel noise — not worth the trade, PERF.md round 5).
+        # An EXPLICIT window/capacity split is honored as given (until
+        # round 5 the 2x floor silently overrode explicit splits, which
+        # made capacity sweeps unfalsifiable).
         two_level = bool(getattr(self.data, "residual_bits", 0))
-        if two_level:
+        if two_level and cfg.capacity_defaulted:
             capacity = max(capacity, 2 * window)
         max_iters = params.resolved_max_iters()
         # exact visited filter: a ring of pop_width * max_iters ids holds

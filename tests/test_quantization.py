@@ -385,3 +385,50 @@ class TestLeanVec:
         a = lvv.search(queries[:8], 5)
         b = lvv2.search(queries[:8], 5)
         np.testing.assert_array_equal(a.ids, b.ids)
+
+
+class TestTwoLevelRerankPool:
+    """Two-level serving capacity semantics (round 5): DEFAULTED configs
+    widen retention to 2x the window for the rerank pool; an EXPLICIT
+    window/capacity split is honored as given (the old unconditional 2x
+    floor silently overrode explicit splits, making capacity sweeps
+    unfalsifiable)."""
+
+    def _captured_capacity(self, idx, queries, monkeypatch):
+        from scalablevectorsearch_tpu.index.vamana import index as idx_mod
+        seen = {}
+        real = idx_mod._search_batch
+
+        def spy(*args, **kwargs):
+            seen["capacity"] = kwargs["capacity"]
+            seen["window"] = kwargs["window"]
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(idx_mod, "_search_batch", spy)
+        idx.search(queries[:8], 5)
+        return seen
+
+    def test_defaulted_widens_explicit_honored(self, rng, monkeypatch):
+        import numpy as np
+        from scalablevectorsearch_tpu.index.vamana.index import VamanaIndex
+        from scalablevectorsearch_tpu.index.vamana.params import (
+            SearchBufferConfig, VamanaBuildParameters,
+            VamanaSearchParameters)
+        from scalablevectorsearch_tpu.quantization.lvq import LVQDataset
+        x = rng.normal(size=(600, 24)).astype(np.float32)
+        queries = rng.normal(size=(8, 24)).astype(np.float32)
+        lvq = LVQDataset.compress(x, bits=8, residual_bits=8)
+        params = VamanaBuildParameters(graph_max_degree=12, window_size=24,
+                                       max_candidate_pool_size=48,
+                                       prune_to=10)
+        idx = VamanaIndex.build(params, x, "l2")
+        idx = VamanaIndex(idx.graph, lvq, idx.entry_point, idx.distance)
+
+        idx.search_window_size = 12            # defaulted capacity
+        seen = self._captured_capacity(idx, queries, monkeypatch)
+        assert seen == {"window": 12, "capacity": 24}
+
+        idx.search_parameters = VamanaSearchParameters(
+            buffer_config=SearchBufferConfig(12, 15))    # explicit split
+        seen = self._captured_capacity(idx, queries, monkeypatch)
+        assert seen == {"window": 12, "capacity": 15}
