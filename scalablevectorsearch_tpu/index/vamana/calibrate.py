@@ -197,7 +197,10 @@ def calibrate_full(index, queries, groundtruth, k: int,
                             if w2 >= w_best:
                                 continue
                             for mult in mults:
-                                cap = max(k, mult * w_best)
+                                # multipliers may be fractional (1.5x
+                                # rerank pools); capacity must stay an
+                                # int for the static beam shapes
+                                cap = max(k, int(-(-mult * w_best // 1)))
                                 if cap < w2:
                                     continue
                                 if recall_at(w2, cap,

@@ -326,3 +326,29 @@ class TestBatchIteratorDeepPaging:
         assert len(got) >= 30, got
         assert not (set(got) & set(doomed.tolist()))
         assert len(set(got)) == len(got)
+
+
+def test_calibrate_fractional_capacity_multiplier(rng):
+    """Fractional capacity multipliers (1.5x rerank pools) must coerce to
+    int capacities — a float leaked into the static beam shapes and raised
+    'Shapes must be 1D sequences ... got (1000, 18.5)' (round 5)."""
+    import numpy as np
+    from scalablevectorsearch_tpu.index.vamana.calibrate import (
+        CalibrationParameters, calibrate_full)
+    from scalablevectorsearch_tpu.index.vamana.index import VamanaIndex
+    from scalablevectorsearch_tpu.index.vamana.params import (
+        VamanaBuildParameters)
+    import scalablevectorsearch_tpu as svt
+    data, queries = svt.generate_test_dataset(1500, 50, 24, seed=21)
+    gt = svt.exhaustive_search(data, queries, 5)
+    params = VamanaBuildParameters(graph_max_degree=16, window_size=32,
+                                   max_candidate_pool_size=64, prune_to=14)
+    idx = VamanaIndex.build(params, data, "l2")
+    cp = CalibrationParameters(pop_widths=(4,), tail_fracs=(4,),
+                               capacity_multipliers=(1, 1.5),
+                               search_window_upper=64, timing_reps=1,
+                               try_packed=False)
+    res = calibrate_full(idx, queries, gt, 5, 0.9, cp)
+    assert isinstance(
+        res.search_parameters.buffer_config.search_buffer_capacity, int)
+    assert svt.k_recall_at_n(gt, idx.search(queries, 5)) >= 0.85
