@@ -710,7 +710,11 @@ def _scale_10m(k, alpha):
                                       sampled_entries=True)
             build_s = time.time() - t0
             _log(f"# 10M build: {build_s:.1f}s")
-            index.save(os.path.join(ck, "index"))
+            # save_host: dataset written from the host array, adjacency
+            # streamed in chunks — a plain save() reads ~6.4 GB back
+            # through the ~2 MB/s tunnel (~45+ min, dwarfing the build)
+            index.save_host(os.path.join(ck, "index"),
+                            np.asarray(data, np.float32))
         if os.path.exists(gt_path):
             gt = np.load(gt_path)
         else:
@@ -755,8 +759,10 @@ def _scale_10m(k, alpha):
                 lvq_out = _scale_10m_lvq(
                     index, ck, queries, gt, k, data=data,
                     deadline=time.time() + max(_left() - 180, 90))
-                if lvq_out is not None:
-                    out["lvq8"] = lvq_out
+                out["lvq8"] = lvq_out if lvq_out is not None else {
+                    "skipped": "no lvq codes in cache and no host data "
+                               "(serve-only run; rebuild the cache to "
+                               "restore this line)"}
             except Exception as e:                       # noqa: BLE001
                 _log(f"# 10M lvq phase failed: {type(e).__name__}: {e}")
                 out["lvq8"] = {"error": f"{type(e).__name__}: {e}"[:200]}
@@ -774,8 +780,10 @@ def _scale_10m(k, alpha):
         else:
             try:
                 ivf_out = _scale_10m_ivf(ck, queries, gt, k, data=data)
-                if ivf_out is not None:
-                    out["ivf"] = ivf_out
+                out["ivf"] = ivf_out if ivf_out is not None else {
+                    "skipped": "no ivf layout in cache and no host data "
+                               "(serve-only run; rebuild the cache to "
+                               "restore this line)"}
             except Exception as e:                       # noqa: BLE001
                 _log(f"# 10M ivf phase failed: {type(e).__name__}: {e}")
                 out["ivf"] = {"error": f"{type(e).__name__}: {e}"[:200]}
@@ -922,11 +930,16 @@ def main():
         os.environ.get("SVT_BENCH_10M", "") != "0" and cached_10m)
     if not want_10m:
         # the judged metric must never silently vanish: say WHY it is
-        # absent (round-4 VERDICT weak-7 / next-8)
-        RESULT["scale_10m"] = {
-            "skipped": "no cache at %s and SVT_BENCH_10M unset; rebuild "
-                       "cost ~2270s build + ~460s lvq8x8 compress + ~370s "
-                       "ivf train (set SVT_BENCH_10M=1)" % ck_10m}
+        # absent, truthfully (round-4 VERDICT weak-7 / next-8)
+        if os.environ.get("SVT_BENCH_10M") == "0":
+            why = "disabled by SVT_BENCH_10M=0 (cache %s at %s)" % (
+                "present" if cached_10m else "absent", ck_10m)
+        else:
+            why = ("no cache at %s and SVT_BENCH_10M unset; rebuild cost "
+                   "~2270s build + ~460s lvq8x8 compress + ~370s ivf "
+                   "train (set SVT_BENCH_10M=1 or run "
+                   "tools/rebuild_10m_cache.py)" % ck_10m)
+        RESULT["scale_10m"] = {"skipped": why}
         _emit()
     elif not explicit_10m and _left() < 400:
         # an explicit SVT_BENCH_10M=1 run is the user asking for the

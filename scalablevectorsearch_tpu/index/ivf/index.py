@@ -155,6 +155,24 @@ def save_packed_layout_host(config_dir: str, clustering, data, distance,
         json.dump(table, f, indent=2)
 
 
+def _poison_padding(data, ids_padded):
+    """+inf the norms of the layout's padding rows so they never win.
+
+    ``ids_padded`` has one entry per packed row (``total``), but the
+    dataset's CAPACITY may be sublane-padded beyond that (bf16 rows pad to
+    16-row tiles, so capacity - total can be 8): broadcasting a (total,)
+    mask against (capacity,) norms crashes for such layouts (round-5
+    review finding).  The mask is padded with False — capacity rows past
+    the layout are padding by definition."""
+    alive = np.asarray(ids_padded) >= 0
+    cap = data.norms_sq.shape[0]
+    mask = np.zeros(cap, dtype=bool)
+    mask[: alive.shape[0]] = alive
+    return dataclasses.replace(
+        data, norms_sq=jnp.where(jnp.asarray(mask), data.norms_sq,
+                                 jnp.inf))
+
+
 def ensure_scan_layout(index, sub: int) -> bool:
     """Materialize the super-row scan layout on any padded-posting index
     (``data``/``ids_padded``/``slot`` + ``_scan_*`` cache fields): the
@@ -444,11 +462,7 @@ class IVFIndex:
 
         reordered = dataset_cls.compress(rows) if hasattr(
             dataset_cls, "compress") else dataset_cls.from_array(rows)
-        # padding rows must never win: poison their norms
-        mask = jnp.asarray(ids_padded >= 0)
-        reordered = dataclasses.replace(
-            reordered,
-            norms_sq=jnp.where(mask, reordered.norms_sq, jnp.inf))
+        reordered = _poison_padding(reordered, ids_padded)
         rerank_data = VectorDataset.from_array(x) if rerank else None
         waste = total / max(n, 1)
         logger = kwargs.get("logger")
@@ -589,9 +603,7 @@ class IVFIndex:
         ctx = saveload.LoadContext(config_dir)
         from ...core.loading import dispatch_load
         data = dispatch_load(data_dir)
-        mask = jnp.asarray(ctx.load_array(table["ids_padded"]) >= 0)
-        data = dataclasses.replace(
-            data, norms_sq=jnp.where(mask, data.norms_sq, jnp.inf))
+        data = _poison_padding(data, ctx.load_array(table["ids_padded"]))
         sp = IVFSearchParameters.from_table(table["search_parameters"])
         bp = (IVFBuildParameters.from_table(table["build_parameters"])
               if table.get("build_parameters") else None)

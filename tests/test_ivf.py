@@ -431,3 +431,42 @@ class TestIVFIterator:
         overlap = len(set(first.ids[0].tolist())
                       & set(gt.ids[0].tolist()))
         assert overlap >= 5
+
+
+class TestBF16SublanePadding:
+    def test_bf16_layout_with_nonmultiple16_total(self, tmp_path):
+        """bf16 datasets pad capacity to 16-row tiles, so the (total,)
+        padding mask must be widened to the dataset capacity — a 24-row
+        layout crashed broadcasting against 32 norms (round-5 review)."""
+        import jax.numpy as jnp
+        from scalablevectorsearch_tpu.core.data import VectorDataset
+        from scalablevectorsearch_tpu.index.ivf.clustering import Clustering
+        from scalablevectorsearch_tpu.index.ivf.index import (
+            IVFIndex, save_packed_layout_host)
+        rng = np.random.default_rng(4)
+        # 3 clusters of 5 -> slot 8, total 24; bf16 capacity pads to 32
+        centers = np.asarray([[0, 0], [40, 40], [-40, 40]], np.float32)
+        x = np.repeat(centers, 5, axis=0) + \
+            rng.normal(size=(15, 2)).astype(np.float32)
+        clustering = Clustering.build(
+            IVFBuildParameters(num_centroids=3, num_iterations=8,
+                               training_fraction=1.0,
+                               is_hierarchical=False), x)
+        save_packed_layout_host(str(tmp_path / "bf16"), clustering, x,
+                                "l2", eltype="bfloat16")
+        idx = IVFIndex.assemble_from_file(str(tmp_path / "bf16"))
+        assert idx.data.dtype == jnp.bfloat16
+        res = idx.search(x[:6], 1, IVFSearchParameters(n_probes=3))
+        np.testing.assert_array_equal(np.asarray(res.ids)[:, 0],
+                                      np.arange(6))
+
+        class _BF16Rows:
+            from_array = staticmethod(
+                lambda rows: VectorDataset.from_array(
+                    rows, dtype=jnp.bfloat16))
+
+        idx2 = IVFIndex.assemble_from_clustering(clustering, x, "l2",
+                                                 dataset_cls=_BF16Rows)
+        res2 = idx2.search(x[:6], 1, IVFSearchParameters(n_probes=3))
+        np.testing.assert_array_equal(np.asarray(res2.ids)[:, 0],
+                                      np.arange(6))

@@ -432,3 +432,39 @@ class TestTwoLevelRerankPool:
             buffer_config=SearchBufferConfig(12, 15))    # explicit split
         seen = self._captured_capacity(idx, queries, monkeypatch)
         assert seen == {"window": 12, "capacity": 15}
+
+
+class TestLVQHostSaveParity:
+    @pytest.mark.parametrize("bits,residual", [(8, 0), (8, 8), (4, 8),
+                                               (4, 4), (8, 4)])
+    def test_byte_parity_with_device_save(self, tmp_path, rng, bits,
+                                          residual):
+        """compress_and_save_host re-implements the quantization math and
+        the v0.0.2 table; it must stay byte-compatible with
+        LVQDataset.compress + save for every (bits, residual_bits) combo
+        (the judged 10M compressed cache is written by the host path —
+        round-5 review asked for this gate)."""
+        import numpy as np
+        from scalablevectorsearch_tpu.core.loading import dispatch_load
+        from scalablevectorsearch_tpu.lib import saveload
+        from scalablevectorsearch_tpu.quantization import lvq as lvq_mod
+        x = rng.normal(size=(97, 13)).astype(np.float32)
+        mem = lvq_mod.LVQDataset.compress(x, bits=bits,
+                                          residual_bits=residual)
+        saveload.save_to_disk(mem, str(tmp_path / "dev"))
+        lvq_mod.compress_and_save_host(str(tmp_path / "host"), x,
+                                       bits=bits, residual_bits=residual)
+        a = dispatch_load(str(tmp_path / "dev"))
+        b = dispatch_load(str(tmp_path / "host"))
+        np.testing.assert_array_equal(np.asarray(a.codes),
+                                      np.asarray(b.codes))
+        np.testing.assert_array_equal(np.asarray(a.res_codes),
+                                      np.asarray(b.res_codes))
+        for field in ("scales", "biases", "mean", "res_scales",
+                      "norms_sq", "full_norms_sq"):
+            av, bv = np.asarray(getattr(a, field)), \
+                np.asarray(getattr(b, field))
+            fin = np.isfinite(av)
+            np.testing.assert_allclose(av[fin], bv[fin], rtol=3e-5)
+            np.testing.assert_array_equal(fin, np.isfinite(bv))
+        assert (a.bits, a.residual_bits) == (b.bits, b.residual_bits)
