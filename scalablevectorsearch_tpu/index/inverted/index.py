@@ -247,16 +247,19 @@ def inverted_search_kernel(graph: NeighborGraph, centroid_data: VectorDataset,
     "window", "max_iters", "max_probes", "keep", "slot", "sub", "distance",
     "tiles_per_step"))
 def _inverted_serve_batch(graph, centroid_data, centroid_ids, data,
-                          ids_padded, q, entry_ids, epsilon, scan_vecs=None,
+                          ids_padded, q, q_scale, entry_ids, epsilon,
+                          scan_vecs=None,
                           scan_ids=None, *, window: int,
                           max_iters: int, max_probes: int, keep: int,
                           slot: int, sub: int,
                           distance: dist_ops.DistanceType,
                           tiles_per_step: int = 1):
     """Fused serving dispatch: primary search + scan + key->distance
-    conversion in one executable; ``q`` may arrive in a half-width upload
-    dtype (see vamana/index.py `_search_batch`)."""
-    q = q.astype(jnp.float32)
+    conversion in one executable; ``q`` may arrive in a half-width (or
+    int8 + per-query scale) upload dtype (see vamana/index.py
+    `_search_batch`)."""
+    from ..vamana.index import dequantize_queries
+    q = dequantize_queries(q, q_scale)
     keys, ids = inverted_search_kernel(
         graph, centroid_data, centroid_ids, data, ids_padded, q, entry_ids,
         epsilon, window=window, max_iters=max_iters, max_probes=max_probes,
@@ -356,7 +359,7 @@ class InvertedIndex:
                      cancel=None):
         """Pipelined dispatch (see ``IVFIndex.search_async``)."""
         from ..vamana.index import (PendingSearch, _BatchPlan,
-                                    upload_dtype_for)
+                                    prepare_query_upload)
         from ...lib.exceptions import check_cancel
         params = parameters or self.search_parameters
         window = max(params.primary_window_size, params.max_probes)
@@ -385,14 +388,17 @@ class InvertedIndex:
         q_host = dt.pad_matrix(queries.astype(np.float32),
                                n_pad=plan.rows * plan.n_batches,
                                d_pad=self.data.padded_dim)
-        q_host = q_host.astype(upload_dtype_for(q_host), copy=False)
+        q_host, q_scale_host = prepare_query_upload(q_host)
         pending = []
         for i in range(plan.n_batches):
             check_cancel(cancel)
             q_i = jnp.asarray(q_host[i * plan.rows:(i + 1) * plan.rows])
+            scale_i = (None if q_scale_host is None else
+                       jnp.asarray(q_scale_host[i * plan.rows:
+                                                (i + 1) * plan.rows]))
             ids, vals = _inverted_serve_batch(
                 self.graph, self.centroid_data, self.centroid_ids,
-                self.data, self.ids_padded, q_i, entry_ids, eps,
+                self.data, self.ids_padded, q_i, scale_i, entry_ids, eps,
                 self._scan_vecs if use_scan else None,
                 self._scan_ids if use_scan else None,
                 window=window,

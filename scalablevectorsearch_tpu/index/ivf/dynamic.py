@@ -172,7 +172,7 @@ class DynamicIVFIndex:
         """Pipelined dispatch (see ``IVFIndex.search_async``); slot->external
         id translation happens on the host at ``.result()`` time."""
         from ..vamana.index import (PendingSearch, _BatchPlan,
-                                    upload_dtype_for)
+                                    prepare_query_upload)
         from ...lib.exceptions import check_cancel
         params = parameters or IVFSearchParameters()
         n_probes = min(params.n_probes, self.num_probe_units)
@@ -195,14 +195,17 @@ class DynamicIVFIndex:
         q_host = dt.pad_matrix(queries.astype(np.float32),
                                n_pad=plan.rows * plan.n_batches,
                                d_pad=self.data.padded_dim)
-        q_host = q_host.astype(upload_dtype_for(q_host), copy=False)
+        q_host, q_scale_host = prepare_query_upload(q_host)
         pending = []
         for i in range(plan.n_batches):
             check_cancel(cancel)
             q_i = jnp.asarray(q_host[i * plan.rows:(i + 1) * plan.rows])
+            scale_i = (None if q_scale_host is None else
+                       jnp.asarray(q_scale_host[i * plan.rows:
+                                                (i + 1) * plan.rows]))
             slots, vals = _ivf_serve_batch(
                 self.centroids, self.centroid_norms, self.data,
-                self.ids_padded, None, q_i, k=k, n_probes=n_probes,
+                self.ids_padded, None, q_i, scale_i, k=k, n_probes=n_probes,
                 keep=keep, slot=self.slot, sub=sub, distance=self.distance,
                 rerank=False, tiles_per_step=tiles)
             pending.append((i * plan.rows, slots, vals))

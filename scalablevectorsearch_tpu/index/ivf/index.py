@@ -355,16 +355,18 @@ def rerank_kernel(rerank_data, queries: jax.Array, cand_keys: jax.Array,
     "k", "n_probes", "keep", "slot", "sub", "distance", "rerank",
     "tiles_per_step"))
 def _ivf_serve_batch(centroids, centroid_norms, data, ids_padded,
-                     rerank_data, q, scan_vecs=None, scan_ids=None,
+                     rerank_data, q, q_scale=None, scan_vecs=None,
+                     scan_ids=None,
                      *, k: int, n_probes: int, keep: int,
                      slot: int, sub: int, distance: dist_ops.DistanceType,
                      rerank: bool, tiles_per_step: int = 1):
     """One fully-fused IVF serving dispatch: centroid select + posting scan
     + (optional) rerank + key->distance conversion, mirroring Vamana's
     `_search_batch` (index/vamana/index.py) — the host does nothing between
-    dispatches but enqueue, and ``q`` may arrive in a half-width upload
-    dtype (cast to f32 here)."""
-    q = q.astype(jnp.float32)
+    dispatches but enqueue, and ``q`` may arrive in a half-width (or int8 +
+    per-query scale) upload dtype (cast back to f32 here)."""
+    from ..vamana.index import dequantize_queries
+    q = dequantize_queries(q, q_scale)
     keys, ids = ivf_search_kernel(
         centroids, centroid_norms, data, ids_padded, q,
         n_probes=n_probes, keep=keep, slot=slot, sub=sub, distance=distance,
@@ -524,7 +526,7 @@ class IVFIndex:
         rides the tunnel while call N computes — the TPU analog of the
         reference's threadpool-saturated serving (index.h:556-603)."""
         from ..vamana.index import (PendingSearch, _BatchPlan,
-                                    upload_dtype_for)
+                                    prepare_query_upload)
         from ...lib.exceptions import check_cancel
         params = parameters or self.search_parameters
         n_probes = min(params.n_probes, self.num_probe_units)
@@ -552,14 +554,18 @@ class IVFIndex:
         q_host = dt.pad_matrix(queries.astype(np.float32),
                                n_pad=plan.rows * plan.n_batches,
                                d_pad=self.data.padded_dim)
-        q_host = q_host.astype(upload_dtype_for(q_host), copy=False)
+        q_host, q_scale_host = prepare_query_upload(q_host)
         pending = []
         for i in range(plan.n_batches):
             check_cancel(cancel)
             q_i = jnp.asarray(q_host[i * plan.rows:(i + 1) * plan.rows])
+            scale_i = (None if q_scale_host is None else
+                       jnp.asarray(q_scale_host[i * plan.rows:
+                                                (i + 1) * plan.rows]))
             ids, vals = _ivf_serve_batch(
                 self.centroids, self.centroid_norms, self.data,
                 self.ids_padded, self.rerank_data if rerank else None, q_i,
+                scale_i,
                 self._scan_vecs if use_scan else None,
                 self._scan_ids if use_scan else None,
                 k=k, n_probes=n_probes, keep=keep, slot=self.slot, sub=sub,

@@ -327,15 +327,18 @@ class MutableVamanaIndex:
         q_host = dt.pad_matrix(queries.astype(np.float32),
                                n_pad=plan.rows * plan.n_batches,
                                d_pad=self.data.padded_dim)
-        from .index import upload_dtype_for
-        q_host = q_host.astype(upload_dtype_for(q_host), copy=False)
+        from .index import prepare_query_upload
+        q_host, q_scale_host = prepare_query_upload(q_host)
         pending = []
         for i in range(plan.n_batches):
             check_cancel(cancel)
             q_i = jnp.asarray(q_host[i * plan.rows:(i + 1) * plan.rows])
+            scale_i = (None if q_scale_host is None else
+                       jnp.asarray(q_scale_host[i * plan.rows:
+                                                (i + 1) * plan.rows]))
             ids, vals = _dyn_search_batch(
                 self.graph, self.data, packed, self.deleted_mask, sampler,
-                q_i, entry_ids,
+                q_i, scale_i, entry_ids,
                 k=k_eff, window=window, capacity=capacity,
                 max_iters=max_iters, distance=self.distance,
                 pop_width=self.pop_width, tail_frac=self.tail_frac,
@@ -626,7 +629,7 @@ def _drop_deleted(keys: jax.Array, ids: jax.Array, deleted_mask: jax.Array,
     "k", "window", "capacity", "max_iters", "distance", "pop_width",
     "tail_frac", "visited_size", "n_entries"))
 def _dyn_search_batch(graph, data, packed, deleted_mask, sampler, q,
-                      entry_ids, *, k: int, window: int,
+                      q_scale, entry_ids, *, k: int, window: int,
                       capacity: int, max_iters: int, distance,
                       pop_width: int, tail_frac: int, visited_size: int,
                       n_entries: int = 1):
@@ -635,7 +638,8 @@ def _dyn_search_batch(graph, data, packed, deleted_mask, sampler, q,
     key->distance conversion on one equal-shape, asynchronously-uploaded
     query batch (mirrors index.py `_search_batch`; the predicated
     extraction is the reference's dynamic_search_buffer.h semantics)."""
-    q = q.astype(jnp.float32)
+    from .index import dequantize_queries
+    q = dequantize_queries(q, q_scale)
     if sampler is not None:
         entry_ids = sampler.select(distance, q, n_entries=n_entries)
     out = search_mod.greedy_search(

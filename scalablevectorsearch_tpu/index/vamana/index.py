@@ -105,7 +105,8 @@ def query_upload_dtype():
     full-precision uploads (or ``bfloat16`` for range over mantissa)."""
     name = os.environ.get("SVT_QUERY_UPLOAD_DTYPE", "float16")
     return {"float32": np.dtype(np.float32), "float16": np.dtype(np.float16),
-            "bfloat16": np.dtype(jnp.bfloat16)}[name]
+            "bfloat16": np.dtype(jnp.bfloat16),
+            "int8": np.dtype(np.int8)}[name]
 
 
 def upload_dtype_for(q_host: np.ndarray) -> np.dtype:
@@ -121,10 +122,36 @@ def upload_dtype_for(q_host: np.ndarray) -> np.dtype:
     return dtype
 
 
+def prepare_query_upload(q_host: np.ndarray):
+    """Quantize/cast a padded f32 host query block for the tunnel upload.
+
+    Returns ``(q_upload, q_scale)``: ``q_scale`` is ``None`` for float
+    transfer dtypes; for ``SVT_QUERY_UPLOAD_DTYPE=int8`` it is a per-query
+    (n, 1) f32 max-abs/127 scale uploaded beside the codes (4 B/query
+    against the 128 B saved on a d=128 f16 row) and applied on device by
+    :func:`dequantize_queries` inside the fused dispatch.  Per-QUERY
+    scaling keeps an outlier query from crushing everyone else's mantissa
+    (the same reason LVQ scales per vector, quantization/lvq.py)."""
+    dtype = upload_dtype_for(q_host)
+    if dtype == np.int8:
+        scale = np.max(np.abs(q_host), axis=1, keepdims=True) / 127.0
+        scale[scale == 0.0] = 1.0
+        q = np.rint(q_host / scale).astype(np.int8)
+        return q, scale.astype(np.float32)
+    return q_host.astype(dtype, copy=False), None
+
+
+def dequantize_queries(q, q_scale):
+    """Device-side inverse of :func:`prepare_query_upload` (traced)."""
+    q = q.astype(jnp.float32)
+    return q if q_scale is None else q * q_scale
+
+
 @partial(jax.jit, static_argnames=(
     "k", "window", "capacity", "max_iters", "distance",
     "tail_frac", "visited_size", "two_level", "n_entries", "pop_width"))
-def _search_batch(graph, data, packed, rerank_view, sampler, q, entry_ids,
+def _search_batch(graph, data, packed, rerank_view, sampler, q, q_scale,
+                  entry_ids,
                   *, k: int, window: int, capacity: int,
                   max_iters: int, distance, tail_frac: int,
                   visited_size: int, two_level: bool, n_entries: int = 1,
@@ -139,7 +166,7 @@ def _search_batch(graph, data, packed, rerank_view, sampler, q, entry_ids,
     16k -> 41k QPS); it may arrive in a half-width dtype
     (``query_upload_dtype``) and is cast to f32 here."""
     from ...index.ivf.index import rerank_kernel
-    q = q.astype(jnp.float32)
+    q = dequantize_queries(q, q_scale)
     if sampler is not None:
         # one MXU matmul against the resident sample replaces the
         # medioid-to-neighborhood walk (entry.py; ~3x fewer lockstep
@@ -447,16 +474,19 @@ class VamanaIndex:
         q_host = dt.pad_matrix(queries.astype(np.float32),
                                n_pad=plan.rows * plan.n_batches,
                                d_pad=self.data.padded_dim)
-        # half-width transfers halve the dominant tunnel cost; the cast
-        # back to f32 happens inside the fused dispatch
-        q_host = q_host.astype(upload_dtype_for(q_host), copy=False)
+        # half-width (or int8) transfers cut the dominant tunnel cost; the
+        # cast back to f32 happens inside the fused dispatch
+        q_host, q_scale_host = prepare_query_upload(q_host)
         pending = []
         for i in range(plan.n_batches):
             check_cancel(cancel)
             q_i = jnp.asarray(q_host[i * plan.rows:(i + 1) * plan.rows])
+            scale_i = (None if q_scale_host is None else
+                       jnp.asarray(q_scale_host[i * plan.rows:
+                                                (i + 1) * plan.rows]))
             ids_k, vals_k = _search_batch(
                 self.graph, self.data, self._packed, rerank_view,
-                self._entry_sampler, q_i, entry_ids,
+                self._entry_sampler, q_i, scale_i, entry_ids,
                 k=k_eff, window=window, capacity=capacity,
                 max_iters=max_iters, distance=self.distance,
                 tail_frac=self.tail_frac, visited_size=visited_size,

@@ -327,12 +327,18 @@ class ShardedMutableVamanaIndex:
         if dim != self.dim:
             raise ValueError(f"query dim {dim} != dataset dim {self.dim}")
         rows = dt.pad_to(nq, 8)
-        from ..index.vamana.index import upload_dtype_for
+        from ..index.vamana.index import (dequantize_queries,
+                                          prepare_query_upload)
         q_host = dt.pad_matrix(queries.astype(np.float32),
                                n_pad=rows, d_pad=self.padded_dim)
         # same upload rounding as the single-chip index so results stay
-        # bit-identical across the two paths (parity tests rely on it)
-        q = jnp.asarray(q_host.astype(upload_dtype_for(q_host), copy=False))
+        # bit-identical across the two paths (parity tests rely on it);
+        # int8 uploads dequantize here with the same convert+multiply the
+        # single-chip fused dispatch applies
+        q_up, q_scale = prepare_query_upload(q_host)
+        q = dequantize_queries(
+            jnp.asarray(q_up),
+            None if q_scale is None else jnp.asarray(q_scale))
         axis = self.axis
         g_meta, d_meta = self._views_meta()
 

@@ -661,6 +661,33 @@ class TestServingDispatch:
         rec16 = svt.k_recall_at_n(gt, r16)
         assert rec32 >= 0.85 and rec16 >= rec32 - 0.02, (rec32, rec16)
 
+    def test_int8_query_upload(self, small_dataset, monkeypatch):
+        """SVT_QUERY_UPLOAD_DTYPE=int8: per-query max-abs/127 scaled codes,
+        dequantized on device inside the fused dispatch.  Opt-in Pareto
+        point: +39% e2e QPS at the recall>=0.9 operating point on the real
+        chip, with a real recall ceiling from the noisy-query traversal
+        (PERF.md round 5)."""
+        import scalablevectorsearch_tpu as svt
+        from scalablevectorsearch_tpu.index.vamana.index import (
+            prepare_query_upload)
+        data, queries = small_dataset
+        params = VamanaBuildParameters(graph_max_degree=16, window_size=32)
+        index = svt.VamanaIndex.build(params, data[:400], "l2")
+        gt = svt.exhaustive_search(data[:400], queries[:64], 5)
+        monkeypatch.setenv("SVT_QUERY_UPLOAD_DTYPE", "int8")
+        rec8 = svt.k_recall_at_n(gt, index.search(queries[:64], 5))
+        assert rec8 >= 0.80, rec8   # noisy-query traversal: looser gate
+        # codes*scale reconstruct within half a quantization step
+        q = np.asarray(queries[:16], dtype=np.float32)
+        codes, scale = prepare_query_upload(q)
+        assert codes.dtype == np.int8 and scale.shape == (16, 1)
+        np.testing.assert_allclose(codes.astype(np.float32) * scale, q,
+                                   atol=float(scale.max()) * 0.51)
+        # all-zero rows (host-side batch padding) must not divide by zero
+        z = np.zeros((4, q.shape[1]), dtype=np.float32)
+        codes_z, scale_z = prepare_query_upload(z)
+        assert np.all(codes_z == 0) and np.all(scale_z == 1.0)
+
     def test_search_async_matches_search(self, built_index, small_dataset):
         """Pipelined serving: in-flight PendingSearch results are identical
         to blocking search(); several overlapping calls don't interfere."""
