@@ -65,6 +65,7 @@ the 100k/1M phases; default clustered).
 
 import atexit
 import gc
+import glob
 import json
 import os
 import signal
@@ -383,9 +384,17 @@ def _vamana_phase(data, queries, gt, k, alpha, windows, label):
             os.environ.get("SVT_QUERY_UPLOAD_DTYPE", "float16") == "float16":
         if _left() > 700:
             try:
+                # host rerank recovers f16-level recall but its host-side
+                # cost ~cancels the upload saving (measured: int8+hr ==
+                # f16 QPS at equal recall, PERF.md round 5) — plain int8
+                # is the Pareto point; opt-in to the rerank variant
+                hv = np.asarray(data, np.float32) \
+                    if os.environ.get("SVT_BENCH_INT8_RERANK") == "1" \
+                    else None
                 result["int8"] = _int8_pareto(
                     index, queries, gt, k, window, label,
-                    deadline=time.time() + max(_left() - 500, 60))
+                    deadline=time.time() + max(_left() - 500, 60),
+                    host_vectors=hv)
             except Exception as e:                       # noqa: BLE001
                 _log(f"# {label} int8 phase failed: {type(e).__name__}: {e}")
                 result["int8"] = {"error": f"{type(e).__name__}: {e}"[:200]}
@@ -395,33 +404,45 @@ def _vamana_phase(data, queries, gt, k, alpha, windows, label):
 
 
 def _int8_pareto(index, queries, gt, k, window_f16, label, deadline=None,
-                 reps: int = 10):
+                 reps: int = 10, host_vectors=None):
     """Alternate serving Pareto point: int8 query uploads (per-query-scaled
     codes dequantized on device — index/vamana/index.py
     ``prepare_query_upload``).  Measured round 5 at 100k: 160.7k QPS @
     0.9046 vs f16's 115.2k @ 0.9115 — +39% e2e at the >=0.9 recall floor,
-    because serving is upload-bandwidth-bound through the tunnel.  The
-    query-quantization noise caps recall (~0.905 at 100k), so the window
-    sweep restarts ABOVE the f16 winner; the headline metric stays f16 for
-    round-over-round comparability and recall headroom."""
+    because serving is upload-bandwidth-bound through the tunnel.
+
+    With ``host_vectors`` the returned beam is additionally re-scored
+    EXACTLY on the host (``enable_host_rerank``) — recovering the
+    final-ranking recall the quantized query loses at the cost of host-side
+    numpy work that ~cancels the upload saving (measured: f16-level QPS at
+    f16-level recall; PERF.md round 5).  Without it the noise caps recall
+    (~0.905 at 100k) and the sweep restarts ABOVE the f16 winner.  The
+    headline metric stays f16 for round-over-round comparability."""
     prev = os.environ.get("SVT_QUERY_UPLOAD_DTYPE")
     os.environ["SVT_QUERY_UPLOAD_DTYPE"] = "int8"
+    rerank = host_vectors is not None
+    if rerank:
+        index.enable_host_rerank(host_vectors)
     try:
         w0 = window_f16
-        windows = (w0 + 5, w0 + 7, w0 + 9, w0 + 12)
+        windows = (w0, w0 + 2, w0 + 4, w0 + 6) if rerank else \
+            (w0 + 5, w0 + 7, w0 + 9, w0 + 12)
         window, recall = _sweep_to_recall(index, queries, gt, k, windows,
                                           f"{label} int8", deadline=deadline)
         index.search_window_size = window
         timing = _timed_qps(index.search_async, queries, k, reps=reps)
         _log(f"# {label} int8 qps median={timing['qps']:.0f} "
-             f"[{timing['qps_min']:.0f}, {timing['qps_max']:.0f}]")
+             f"[{timing['qps_min']:.0f}, {timing['qps_max']:.0f}] "
+             f"host_rerank={rerank}")
         return {"recall": round(float(recall), 4), "window": window,
-                "query_upload": "int8", **timing}
+                "query_upload": "int8", "host_rerank": rerank, **timing}
     finally:
         if prev is None:
             os.environ.pop("SVT_QUERY_UPLOAD_DTYPE", None)
         else:
             os.environ["SVT_QUERY_UPLOAD_DTYPE"] = prev
+        if rerank:
+            index.disable_host_rerank()
         index.search_window_size = window_f16
 
 
@@ -819,9 +840,22 @@ def _scale_10m(k, alpha):
             os.environ.get("SVT_QUERY_UPLOAD_DTYPE", "float16") == "float16":
         if _left() > 700:
             try:
+                # plain int8 by default (see 100k phase note); the rerank
+                # variant mmaps the saved dataset .npy on serve-only cache
+                # runs (written host-side by save_host — no tunnel readback)
+                hv = None
+                if os.environ.get("SVT_BENCH_INT8_RERANK") == "1":
+                    hv = None if data is None \
+                        else np.asarray(data, np.float32)
+                    if hv is None:
+                        npys = glob.glob(
+                            os.path.join(ck, "index", "data", "*.npy"))
+                        if len(npys) == 1:
+                            hv = np.load(npys[0], mmap_mode="r")
                 out["int8"] = _int8_pareto(
                     index, queries, gt, k, window, "10M",
-                    deadline=time.time() + max(_left() - 500, 60), reps=4)
+                    deadline=time.time() + max(_left() - 500, 60), reps=4,
+                    host_vectors=hv)
             except Exception as e:                       # noqa: BLE001
                 _log(f"# 10M int8 phase failed: {type(e).__name__}: {e}")
                 out["int8"] = {"error": f"{type(e).__name__}: {e}"[:200]}

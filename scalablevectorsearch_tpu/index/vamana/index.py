@@ -60,6 +60,40 @@ class _BatchPlan:
         return cls(rows=rows, n_batches=nb)
 
 
+def _host_rerank_batch(ids: np.ndarray, q: np.ndarray,
+                       vectors: np.ndarray, norms_sq: np.ndarray,
+                       distance, k: int):
+    """Exact re-scoring of a returned beam on the HOST, where the
+    full-precision query still lives.
+
+    Recovers the final-ranking recall an int8 query upload loses on device
+    at ZERO extra upload bytes (PERF.md round 5: int8 w=16 recall 0.847 ->
+    0.892 with exact beam rerank at 20k; plain f16 = 0.889).  Norm-algebra
+    form — one fancy-index gather + one batched row-matvec per batch, no
+    (b, k', d) residual temporary; mirrors ops/distance.gathered_keys."""
+    safe = np.maximum(ids, 0)
+    vecs = vectors[safe]                          # (b, k', d)
+    dots = np.einsum("bkd,bd->bk", vecs, q, optimize=True)
+    if distance == dist_ops.DistanceType.MIP:
+        keys = -dots
+    else:
+        xn = norms_sq[safe]
+        qn = np.sum(q * q, axis=-1, dtype=np.float64).astype(np.float32)
+        if distance == dist_ops.DistanceType.L2:
+            keys = np.maximum(qn[:, None] - 2.0 * dots + xn, 0.0)
+        else:                                     # cosine
+            denom = np.sqrt(np.maximum(qn[:, None], 1e-30)) * \
+                np.sqrt(np.maximum(xn, 1e-30))
+            keys = -dots / denom
+    keys = np.where(ids < 0, np.inf, keys.astype(np.float32))
+    order = np.argsort(keys, axis=1, kind="stable")[:, :k]
+    ids_k = np.take_along_axis(ids, order, axis=1)
+    keys_k = np.take_along_axis(keys, order, axis=1)
+    # value_from_key is pure sign algebra — stays in numpy: routing it
+    # through jnp here would cost two tunnel round trips PER BATCH
+    return ids_k, dist_ops.value_from_key(distance, keys_k)
+
+
 @dataclasses.dataclass
 class PendingSearch:
     """In-flight batch search: device work dispatched, results not yet read.
@@ -76,18 +110,27 @@ class PendingSearch:
     out_ids: np.ndarray
     out_vals: np.ndarray
     translate_ids: Optional[object] = None  # host slot->external id hook
+    # (vectors, norms_sq, queries_f32, distance, k): exact host-side beam
+    # re-scoring applied at result() time (enable_host_rerank)
+    host_rerank: Optional[tuple] = None
 
     def result(self) -> QueryResult:
         for start, ids_k, vals_k in self.pending:
             stop = min(start + self.rows, self.nq)
             slots = np.asarray(ids_k)[: stop - start]
+            vals = np.asarray(vals_k)[: stop - start]
+            if self.host_rerank is not None:
+                vectors, norms_sq, queries, distance, k = self.host_rerank
+                slots, vals = _host_rerank_batch(
+                    slots, queries[start:stop], vectors, norms_sq,
+                    distance, k)
             if self.translate_ids is not None:
                 slots = self.translate_ids(slots)
             # width-aware: k may exceed the dispatch width (k > n clamps
             # the beam; the extra columns keep their -1 / +inf prefill)
             self.out_ids[start:stop, : slots.shape[1]] = slots
             self.out_vals[start:stop, : slots.shape[1]] = \
-                np.asarray(vals_k)[: stop - start]
+                vals[:, : slots.shape[1]]
         self.pending = []
         return QueryResult(ids=self.out_ids, distances=self.out_vals)
 
@@ -261,6 +304,7 @@ class VamanaIndex:
         # beam entries expanded per lockstep iteration (multi-pop; see
         # greedy_search pop_width) — serving default measured optimal at 4
         self.pop_width = search_mod.SERVING_POP_WIDTH
+        self._host_rerank = None     # (vectors, norms_sq) — enable_host_rerank
 
     # -- construction ---------------------------------------------------------
     @classmethod
@@ -359,6 +403,36 @@ class VamanaIndex:
 
     def disable_packed_serving(self) -> None:
         self._packed = None
+
+    # -- host-side exact rerank ----------------------------------------------------
+    def enable_host_rerank(self, host_vectors) -> None:
+        """Re-score the returned beam on the HOST with the full-precision
+        query at ``result()`` time.
+
+        Pairs with ``SVT_QUERY_UPLOAD_DTYPE=int8``: the device traverses
+        with the quantized query (half the f16 upload bytes), and the exact
+        final ranking — where most of the int8 recall loss lives — is
+        recovered host-side for free upload-wise (PERF.md round 5).  The
+        search fetches the full beam capacity instead of k, so the rerank
+        has a real candidate pool.  ``host_vectors`` is the (n, dim) host
+        array the index was built from — an ``np.load(..., mmap_mode='r')``
+        view of the saved dataset works and is kept as-is (NEVER read a
+        multi-GB dataset back through the tunnel to obtain it — see
+        save_host)."""
+        host_vectors = np.asarray(host_vectors)
+        if host_vectors.dtype != np.float32:
+            host_vectors = host_vectors.astype(np.float32)
+        host_vectors = host_vectors[:, : self.data.dim]
+        if host_vectors.shape[0] != self.size:
+            raise ValueError(
+                f"host_vectors rows {host_vectors.shape[0]} != index size "
+                f"{self.size}")
+        norms = np.einsum("nd,nd->n", host_vectors, host_vectors,
+                          optimize=True)
+        self._host_rerank = (host_vectors, norms.astype(np.float32))
+
+    def disable_host_rerank(self) -> None:
+        self._host_rerank = None
 
     # -- per-query entry selection -------------------------------------------------
     def enable_entry_sampler(self, n_samples: Optional[int] = None,
@@ -465,6 +539,10 @@ class VamanaIndex:
         out_ids = np.full((nq, k), -1, dtype=np.int64)
         out_vals = np.full((nq, k), np.inf, dtype=np.float32)
         rerank_view = self.data.full_view() if two_level else None
+        # host rerank fetches the whole retained beam so the exact
+        # host-side re-scoring has a real candidate pool
+        hr = self._host_rerank
+        k_fetch = min(capacity, self.size) if hr is not None else k_eff
         # ONE host-side pad of the whole query set, then per-batch ASYNC
         # uploads: batch i+1's transfer rides the tunnel while batch i
         # computes, and every equal-shape batch dispatches the same fused
@@ -487,7 +565,7 @@ class VamanaIndex:
             ids_k, vals_k = _search_batch(
                 self.graph, self.data, self._packed, rerank_view,
                 self._entry_sampler, q_i, scale_i, entry_ids,
-                k=k_eff, window=window, capacity=capacity,
+                k=k_fetch, window=window, capacity=capacity,
                 max_iters=max_iters, distance=self.distance,
                 tail_frac=self.tail_frac, visited_size=visited_size,
                 two_level=two_level, n_entries=self._entry_n,
@@ -499,7 +577,10 @@ class VamanaIndex:
             ids_k.copy_to_host_async()
             vals_k.copy_to_host_async()
         return PendingSearch(pending=pending, rows=plan.rows, nq=nq,
-                             out_ids=out_ids, out_vals=out_vals)
+                             out_ids=out_ids, out_vals=out_vals,
+                             host_rerank=None if hr is None else
+                             (hr[0], hr[1], queries.astype(np.float32),
+                              self.distance, k_eff))
 
     # -- reconstruction -----------------------------------------------------------
     def reconstruct_at(self, ids) -> np.ndarray:

@@ -688,6 +688,35 @@ class TestServingDispatch:
         codes_z, scale_z = prepare_query_upload(z)
         assert np.all(codes_z == 0) and np.all(scale_z == 1.0)
 
+    def test_host_rerank(self, small_dataset, monkeypatch):
+        """enable_host_rerank: the returned beam is re-scored exactly on the
+        host (where the f32 query lives) — recovers the final-ranking
+        recall int8 uploads lose on device at zero extra upload bytes, and
+        the returned distances become EXACT (PERF.md round 5)."""
+        import scalablevectorsearch_tpu as svt
+        data, queries = small_dataset
+        X = np.asarray(data[:400], np.float32)
+        Q = np.asarray(queries[:64], np.float32)
+        params = VamanaBuildParameters(graph_max_degree=16, window_size=32)
+        index = svt.VamanaIndex.build(params, X, "l2")
+        gt = svt.exhaustive_search(X, Q, 5)
+        monkeypatch.setenv("SVT_QUERY_UPLOAD_DTYPE", "int8")
+        index.search_window_size = 12
+        rec_plain = svt.k_recall_at_n(gt, index.search(Q, 5))
+        with np.testing.assert_raises(ValueError):
+            index.enable_host_rerank(X[:100])         # row-count mismatch
+        index.enable_host_rerank(X)
+        res = index.search(Q, 5)
+        rec = svt.k_recall_at_n(gt, res)
+        assert rec >= rec_plain - 1e-9, (rec_plain, rec)
+        # reranked distances are exact squared L2 for the returned ids
+        d_exact = np.sum((X[np.maximum(res.ids, 0)] - Q[:, None, :]) ** 2,
+                         axis=-1)
+        np.testing.assert_allclose(res.distances, d_exact, rtol=2e-4,
+                                   atol=1e-2)
+        index.disable_host_rerank()
+        assert index._host_rerank is None
+
     def test_search_async_matches_search(self, built_index, small_dataset):
         """Pipelined serving: in-flight PendingSearch results are identical
         to blocking search(); several overlapping calls don't interfere."""
