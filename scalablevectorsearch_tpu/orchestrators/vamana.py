@@ -71,6 +71,15 @@ class Vamana:
     def disable_entry_sampler(self) -> None:
         self._index.disable_entry_sampler()
 
+    def enable_host_rerank(self, host_vectors) -> None:
+        """Exact host-side re-scoring of the returned beam — restores
+        f16-level recall under int8 query uploads (see
+        VamanaIndex.enable_host_rerank and PERF.md round 5)."""
+        self._index.enable_host_rerank(host_vectors)
+
+    def disable_host_rerank(self) -> None:
+        self._index.disable_host_rerank()
+
     @property
     def pop_width(self) -> int:
         """Beam entries expanded per lockstep iteration (multi-pop; see
