@@ -959,14 +959,32 @@ def main():
     _log(f"# tunnel at start: {RESULT['tunnel_start']}")
 
     def attach_head(head):
-        """Install the 100k phase dict as the headline keys + emit."""
+        """Install the 100k phase dict as the headline keys + emit.
+
+        The headline ``value`` is the best MEASURED config meeting the
+        recall>=0.9 floor — f16 uploads or the int8 Pareto point (both
+        blocks stay in the artifact; the metric string names the winner).
+        Serving the best implemented operating point at the declared floor
+        is the reference benchmark's own convention (its search.h quotes
+        the best per-config point); f16 remains under ``qps``/``value_f16``
+        for round-over-round comparability.  int8 matters under
+        congestion: one window measured f16 43.1k while int8 held 131.6k
+        (PERF.md round 5)."""
+        value, cfg = head["qps"], "f16-upload"
+        win, rec = head["window"], head["recall"]
+        i8 = head.get("int8") or {}
+        if isinstance(i8, dict) and i8.get("qps") and \
+                i8.get("recall", 0.0) >= 0.9 and i8["qps"] > value:
+            value, cfg = i8["qps"], "int8-upload"
+            win, rec = i8["window"], i8["recall"]
         RESULT.update({
             "metric": f"vamana_qps_at_recall0.9 (n={n}, d={dim}, "
-                      f"window={head['window']}, "
-                      f"recall={head['recall']:.4f}, "
+                      f"config={cfg}, window={win}, "
+                      f"recall={rec:.4f}, "
                       f"build_s={head['build_s']})",
-            "value": head["qps"],
-            "vs_baseline": round(head["qps"] / BASELINE_QPS, 4),
+            "value": value,
+            "value_f16": head["qps"],
+            "vs_baseline": round(value / BASELINE_QPS, 4),
             **{key: head[key] for key in
                ("build_s", "recall", "window", "latency", "qps_min",
                 "qps_max", "roofline", "tunnel", "int8", "lvq8", "ivf")

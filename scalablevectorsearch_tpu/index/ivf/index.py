@@ -554,7 +554,8 @@ class IVFIndex:
         q_host = dt.pad_matrix(queries.astype(np.float32),
                                n_pad=plan.rows * plan.n_batches,
                                d_pad=self.data.padded_dim)
-        q_host, q_scale_host = prepare_query_upload(q_host)
+        q_host, q_scale_host = prepare_query_upload(
+            q_host, getattr(self, "query_upload_dtype", None))
         pending = []
         for i in range(plan.n_batches):
             check_cancel(cancel)

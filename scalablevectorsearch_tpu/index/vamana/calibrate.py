@@ -19,7 +19,10 @@ QPS (PERF.md) are calibrated instead:
   packed: packing changes scoring precision, so feasibility cannot be
   assumed from the unpacked run);
 * **visited_set** — optional exact visited filter (off by default, like
-  the reference).
+  the reference);
+* **query upload dtype** — opt-in int8-uploads axis (``try_int8_uploads``;
+  +39% e2e QPS at moderate recall targets, PERF.md round 5) — an outermost
+  axis since the quantized query changes every score.
 
 Reranking-awareness (the reference's ``calibration_uses_reranking`` CPO,
 extensions.h:598): for two-level datasets the retained capacity IS the
@@ -56,6 +59,11 @@ class CalibrationParameters:
     capacity_multipliers: tuple = (1, 2)
     try_packed: bool = True
     try_visited_set: bool = False
+    # int8 query uploads (PERF.md round 5: +39% e2e QPS at the >=0.9
+    # floor, recall capped ~0.905 by the quantization noise) — an
+    # OUTERMOST axis because recall must be re-measured under the noisy
+    # query; off by default (it only pays at moderate recall targets)
+    try_int8_uploads: bool = False
 
 
 @dataclasses.dataclass
@@ -69,6 +77,8 @@ class CalibrationResult:
     qps: float
     recall: float
     trials: int
+    # winning host->device transfer dtype (None = env default / f16)
+    query_upload_dtype: Optional[str] = None
 
 
 def calibrate(index, queries, groundtruth, k: int, target_recall: float,
@@ -113,11 +123,20 @@ def calibrate_full(index, queries, groundtruth, k: int,
         if packable:
             packed_states.append(True)
 
-    def set_state(m, tf, packed):
+    # int8 uploads change every score, so they form an outermost axis with
+    # recall re-measured under the noisy query (like the packed axis)
+    upload_states = [getattr(index, "query_upload_dtype", None)]
+    if params.try_int8_uploads and upload_states[0] != "int8" and \
+            hasattr(index, "query_upload_dtype"):
+        upload_states.append("int8")
+
+    def set_state(m, tf, packed, upload=None):
         if m is not None:
             index.pop_width = m
         if tf is not None:
             index.tail_frac = tf
+        if hasattr(index, "query_upload_dtype"):
+            index.query_upload_dtype = upload
         if packed and getattr(index, "_packed", None) is None:
             index.enable_packed_serving()
         elif not packed and getattr(index, "_packed", None) is not None:
@@ -161,12 +180,13 @@ def calibrate_full(index, queries, groundtruth, k: int,
         getattr(index, "rerank_data", None) is not None
     visited_states = (False, True) if params.try_visited_set else (False,)
 
-    best = None   # (qps, window, capacity, m, tf, packed, visited, recall)
+    best = None   # (qps, w, cap, m, tf, packed, visited, recall, upload)
 
-    for packed in packed_states:
+    for up in upload_states:
+      for packed in packed_states:
         for m in pop_widths:
             for tf in tail_fracs:
-                set_state(m, tf, packed)
+                set_state(m, tf, packed, up)
                 for visited in visited_states:
                     # 1) binary-search the smallest feasible window with
                     #    k-floored retention (sub-k windows are reachable)
@@ -212,24 +232,27 @@ def calibrate_full(index, queries, groundtruth, k: int,
                         q = qps_at(w, cap, visited)
                         if best is None or q > best[0]:
                             best = (q, w, cap, m, tf, packed, visited,
-                                    recall_at(w, cap, visited))
+                                    recall_at(w, cap, visited), up)
 
     if best is None:
         # unreachable target everywhere: best effort at the upper window
         # on the default axes (reference behavior: widest feasible)
-        set_state(pop_widths[0], tail_fracs[0], packed_states[0])
+        set_state(pop_widths[0], tail_fracs[0], packed_states[0],
+                  upload_states[0])
         cfg = sp_for(hi0, max(hi0, k))
         index.search_parameters = cfg
         return CalibrationResult(
             search_parameters=cfg,
             pop_width=pop_widths[0] or 0, tail_frac=tail_fracs[0] or 0,
             packed=packed_states[0], qps=0.0,
-            recall=recall_at(hi0, max(hi0, k)), trials=trials[0])
+            recall=recall_at(hi0, max(hi0, k)), trials=trials[0],
+            query_upload_dtype=upload_states[0])
 
-    q, w, cap, m, tf, packed, visited, rec = best
-    set_state(m, tf, packed)
+    q, w, cap, m, tf, packed, visited, rec, up = best
+    set_state(m, tf, packed, up)
     cfg = sp_for(w, cap, visited)
     index.search_parameters = cfg
     return CalibrationResult(
         search_parameters=cfg, pop_width=m or 0, tail_frac=tf or 0,
-        packed=packed, qps=q, recall=rec, trials=trials[0])
+        packed=packed, qps=q, recall=rec, trials=trials[0],
+        query_upload_dtype=up)

@@ -147,25 +147,30 @@ def query_upload_dtype():
     run-to-run jitter.  Set ``SVT_QUERY_UPLOAD_DTYPE=float32`` to restore
     full-precision uploads (or ``bfloat16`` for range over mantissa)."""
     name = os.environ.get("SVT_QUERY_UPLOAD_DTYPE", "float16")
-    return {"float32": np.dtype(np.float32), "float16": np.dtype(np.float16),
-            "bfloat16": np.dtype(jnp.bfloat16),
-            "int8": np.dtype(np.int8)}[name]
+    return _UPLOAD_DTYPES[name]
 
 
-def upload_dtype_for(q_host: np.ndarray) -> np.dtype:
-    """Transfer dtype for this query set: ``query_upload_dtype`` unless the
-    values overflow float16's range (max 65504) — raw unnormalized feature
+_UPLOAD_DTYPES = {
+    "float32": np.dtype(np.float32), "float16": np.dtype(np.float16),
+    "bfloat16": np.dtype(jnp.bfloat16), "int8": np.dtype(np.int8)}
+
+
+def upload_dtype_for(q_host: np.ndarray, override=None) -> np.dtype:
+    """Transfer dtype for this query set: ``override`` (a per-index
+    ``query_upload_dtype`` attribute, e.g. set by the calibrator) or the
+    ``query_upload_dtype`` env default — unless the values overflow
+    float16's range (max 65504) — raw unnormalized feature
     vectors would silently map to ±inf and poison every distance, so such
     query sets fall back to full-width uploads (bfloat16 shares float32's
     exponent range and needs no guard)."""
-    dtype = query_upload_dtype()
+    dtype = _UPLOAD_DTYPES[override] if override else query_upload_dtype()
     if dtype == np.float16 and q_host.size and \
             np.max(np.abs(q_host)) > np.finfo(np.float16).max:
         return np.dtype(np.float32)
     return dtype
 
 
-def prepare_query_upload(q_host: np.ndarray):
+def prepare_query_upload(q_host: np.ndarray, override=None):
     """Quantize/cast a padded f32 host query block for the tunnel upload.
 
     Returns ``(q_upload, q_scale)``: ``q_scale`` is ``None`` for float
@@ -175,7 +180,7 @@ def prepare_query_upload(q_host: np.ndarray):
     :func:`dequantize_queries` inside the fused dispatch.  Per-QUERY
     scaling keeps an outlier query from crushing everyone else's mantissa
     (the same reason LVQ scales per vector, quantization/lvq.py)."""
-    dtype = upload_dtype_for(q_host)
+    dtype = upload_dtype_for(q_host, override)
     if dtype == np.int8:
         scale = np.max(np.abs(q_host), axis=1, keepdims=True) / 127.0
         scale[scale == 0.0] = 1.0
@@ -268,6 +273,12 @@ class VamanaIndex:
 
     SCHEMA = "vamana_index_parameters"
     VERSION = saveload.Version(0, 0, 2)  # 0.0.2: optional entry_sampler
+    # per-index host->device query transfer dtype override
+    # ("float32"/"float16"/"bfloat16"/"int8"); None defers to the
+    # SVT_QUERY_UPLOAD_DTYPE env default.  Every index family honors an
+    # instance-level assignment of this name; the calibrator's int8 axis
+    # sets it on the winner (calibrate.py)
+    query_upload_dtype = None
 
     def __init__(self,
                  graph: NeighborGraph,
@@ -554,7 +565,8 @@ class VamanaIndex:
                                d_pad=self.data.padded_dim)
         # half-width (or int8) transfers cut the dominant tunnel cost; the
         # cast back to f32 happens inside the fused dispatch
-        q_host, q_scale_host = prepare_query_upload(q_host)
+        q_host, q_scale_host = prepare_query_upload(
+            q_host, self.query_upload_dtype)
         pending = []
         for i in range(plan.n_batches):
             check_cancel(cancel)

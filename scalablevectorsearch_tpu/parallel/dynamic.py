@@ -335,7 +335,8 @@ class ShardedMutableVamanaIndex:
         # bit-identical across the two paths (parity tests rely on it);
         # int8 uploads dequantize here with the same convert+multiply the
         # single-chip fused dispatch applies
-        q_up, q_scale = prepare_query_upload(q_host)
+        q_up, q_scale = prepare_query_upload(
+            q_host, getattr(self, "query_upload_dtype", None))
         q = dequantize_queries(
             jnp.asarray(q_up),
             None if q_scale is None else jnp.asarray(q_scale))

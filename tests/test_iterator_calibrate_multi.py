@@ -121,6 +121,24 @@ class TestCalibrate:
                                search_window_upper=64))
         assert params.buffer_config.search_window_size == 64
 
+    def test_int8_upload_axis(self, built):
+        """try_int8_uploads: the calibrator probes int8 query uploads as an
+        outermost axis; the winning dtype is recorded AND applied to the
+        index's query_upload_dtype attribute (round-5 serving lever)."""
+        from scalablevectorsearch_tpu.index.vamana.calibrate import (
+            calibrate_full)
+        index, data, queries, gt = built
+        res = calibrate_full(
+            index, queries, gt.ids[:, :10], 10, target_recall=0.9,
+            parameters=CalibrationParameters(
+                try_int8_uploads=True, try_packed=False,
+                pop_widths=(4,), max_window_trials=6))
+        assert res.query_upload_dtype in (None, "int8")
+        assert index.query_upload_dtype == res.query_upload_dtype
+        rec = svt.k_recall_at_n(gt.ids[:, :10], index.search(queries, 10))
+        assert rec >= 0.9 - 0.02, rec
+        index.query_upload_dtype = None   # reset shared fixture state
+
 
 class TestSearchStats:
     def test_pops_counted(self, built):

@@ -675,17 +675,25 @@ class TestServingDispatch:
         index = svt.VamanaIndex.build(params, data[:400], "l2")
         gt = svt.exhaustive_search(data[:400], queries[:64], 5)
         monkeypatch.setenv("SVT_QUERY_UPLOAD_DTYPE", "int8")
-        rec8 = svt.k_recall_at_n(gt, index.search(queries[:64], 5))
+        res_env = index.search(queries[:64], 5)
+        rec8 = svt.k_recall_at_n(gt, res_env)
         assert rec8 >= 0.80, rec8   # noisy-query traversal: looser gate
-        # codes*scale reconstruct within half a quantization step
+        # per-index attribute override == env knob, bit-identical
+        monkeypatch.delenv("SVT_QUERY_UPLOAD_DTYPE")
+        index.query_upload_dtype = "int8"
+        res_attr = index.search(queries[:64], 5)
+        np.testing.assert_array_equal(res_attr.ids, res_env.ids)
+        index.query_upload_dtype = None
+        # codes*scale reconstruct within half a quantization step (the
+        # "int8" argument exercises the per-index override parameter)
         q = np.asarray(queries[:16], dtype=np.float32)
-        codes, scale = prepare_query_upload(q)
+        codes, scale = prepare_query_upload(q, "int8")
         assert codes.dtype == np.int8 and scale.shape == (16, 1)
         np.testing.assert_allclose(codes.astype(np.float32) * scale, q,
                                    atol=float(scale.max()) * 0.51)
         # all-zero rows (host-side batch padding) must not divide by zero
         z = np.zeros((4, q.shape[1]), dtype=np.float32)
-        codes_z, scale_z = prepare_query_upload(z)
+        codes_z, scale_z = prepare_query_upload(z, "int8")
         assert np.all(codes_z == 0) and np.all(scale_z == 1.0)
 
     def test_host_rerank(self, small_dataset, monkeypatch):
